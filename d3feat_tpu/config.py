@@ -1,0 +1,233 @@
+"""Self-describing configuration for D3Feat-TPU.
+
+Mirrors the semantics of the reference config system (`utils/config.py:21-314`
+in XuyangBai/D3Feat): class-attribute defaults, per-dataset overrides, and a
+human-readable `parameters.txt` round-trip so checkpoint directories are
+self-describing.  Re-designed as a frozen dataclass so it can be closed over
+by jitted functions (static hashable config).
+
+TPU-specific additions (no reference equivalent — they replace the
+reference's *runtime* calibration passes, `datasets/common.py:509-673`):
+  * ``neighborhood_limits``: fixed per-level neighbor degree K_l (the
+    reference calibrates these per-run with a throwaway session; here they
+    are config, produced offline by `d3feat_tpu.data.calibration`).
+  * ``padded sizes``: per-level static point capacities used to pad the
+    pyramid to shapes XLA can compile once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Dict, Tuple
+
+# Architecture shipped with the reference pretrained models
+# (training_3DMatch.py:41-59; results/Log_circleloss/parameters.txt).
+D3FEAT_ARCHITECTURE: Tuple[str, ...] = (
+    'simple',
+    'resnetb',
+    'resnetb_strided',
+    'resnetb',
+    'resnetb_strided',
+    'resnetb',
+    'resnetb_strided',
+    'resnetb',
+    'resnetb_strided',
+    'resnetb',
+    'nearest_upsample',
+    'unary',
+    'nearest_upsample',
+    'unary',
+    'nearest_upsample',
+    'unary',
+    'nearest_upsample',
+    'unary',
+    'last_unary',
+)
+
+
+def _num_layers(architecture: Tuple[str, ...]) -> int:
+    """Number of pyramid levels = 1 + number of downsampling blocks before
+    the first upsample (reference derives this at `utils/config.py:171-178`)."""
+    n = 1
+    for block in architecture:
+        if 'upsample' in block or 'global' in block:
+            break
+        if 'pool' in block or 'strided' in block:
+            n += 1
+    return n
+
+
+@dataclass(frozen=True)
+class Config:
+    """All knobs of the framework. Frozen + hashable so a Config can be a
+    static argument of jitted functions."""
+
+    # ---- dataset / task ----------------------------------------------------
+    dataset: str = '3DMatch'
+
+    # ---- architecture ------------------------------------------------------
+    architecture: Tuple[str, ...] = D3FEAT_ARCHITECTURE
+    num_kernel_points: int = 15           # K (reference: num_kernel_points=15)
+    first_subsampling_dl: float = 0.03    # voxel size at level 0
+    density_parameter: float = 5.0        # radius = dl * density_parameter
+    KP_influence: str = 'linear'          # 'constant' | 'linear' | 'gaussian'
+    KP_extent: float = 1.0
+    convolution_mode: str = 'sum'         # 'sum' | 'closest'
+    fixed_kernel_points: str = 'center'
+    in_features_dim: int = 1
+    first_features_dim: int = 64
+    out_features_dim: int = 32            # descriptor dim (network_blocks.py:198)
+    use_batch_norm: bool = True
+    batch_norm_momentum: float = 0.98
+    modulated: bool = False
+
+    # ---- static-shape (TPU) knobs ------------------------------------------
+    # Per-level neighbor-degree caps K_l for conv/pool/upsample index matrices.
+    # Default values reproduce the reference's calibrated ~0.8-coverage limits
+    # for 3DMatch (keep_ratio=0.8 histogram rule, datasets/common.py:572-673).
+    neighborhood_limits: Tuple[int, ...] = (38, 36, 36, 38, 35)
+    # Maximum stacked points at level 0 (anchor + positive). Finer levels
+    # derive their capacity via `level_capacity_ratios`.
+    max_points: int = 65536
+    # Upper bound on |level l+1| / |level l| after 2x voxel subsampling.
+    # 3DMatch empirical worst case is ~0.4; 0.5 is safe.
+    level_capacity_ratio: float = 0.5
+    # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
+    size_multiple: int = 1024
+    # Compute dtype for conv/matmul inputs ('float32' or 'bfloat16').
+    compute_dtype: str = 'float32'
+
+    # ---- training ----------------------------------------------------------
+    max_epoch: int = 200
+    epoch_steps: int = 5000
+    validation_size: int = 500
+    learning_rate: float = 0.1
+    momentum: float = 0.98
+    lr_decay: float = 0.1 ** (1 / 80)     # per-epoch multiplier (training_3DMatch.py:108)
+    grad_clip_norm: float = 100.0         # per-variable clip (utils/trainer.py:130-142)
+    weights_decay: float = 1e-6           # L2 on conv/unary weights (utils/config.py:137)
+    batch_num: int = 1                    # fragment pairs per step
+    keypts_num: int = 256                 # correspondences per pair
+    det_loss_weight: float = 1.0
+    safe_radius: float = 0.1              # false-negative mask radius (m)
+    loss_type: str = 'circle_loss'        # 'circle_loss' | 'contrastive'
+    pos_margin: float = 0.1
+    neg_margin: float = 1.4
+    log_scale: float = 25.0
+    snapshot_gap: int = 1
+
+    # ---- augmentation (datasets/ThreeDMatch.py:24-45, KITTI.py:191-206) ----
+    augment_noise: float = 0.005
+    augment_rotation: bool = True
+    augment_scale_min: float = 1.0
+    augment_scale_max: float = 1.0
+    augment_shift_range: float = 0.0
+
+    # ---- misc ---------------------------------------------------------------
+    kernel_seed: int = 42                 # seeds the kernel-point rotation/jitter
+    saving_path: str = ''
+
+    # -------------------------------------------------------------------------
+    @property
+    def num_layers(self) -> int:
+        return _num_layers(self.architecture)
+
+    def replace(self, **kw) -> 'Config':
+        return dataclasses.replace(self, **kw)
+
+    def level_capacities(self) -> Tuple[int, ...]:
+        """Static per-level point capacities N_l (padded)."""
+        caps = []
+        n = self.max_points
+        for _ in range(self.num_layers):
+            m = self.size_multiple
+            caps.append(int(-(-n // m) * m))
+            n = max(int(n * self.level_capacity_ratio), m)
+        return tuple(caps)
+
+    # ---- parameters.txt round-trip ------------------------------------------
+    def save(self, path: str) -> None:
+        """Write a self-describing `parameters.txt` (same spirit as
+        `utils/config.py:180-219`)."""
+        lines = ['# D3Feat-TPU parameters', '']
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if isinstance(v, tuple):
+                v = ' '.join(str(x) for x in v)
+            lines.append(f'{f.name} = {v}')
+        with open(path, 'w') as fh:
+            fh.write('\n'.join(lines) + '\n')
+
+    @classmethod
+    def load(cls, path: str) -> 'Config':
+        """Parse a `parameters.txt` produced by :meth:`save`
+        (reference analog: `utils/config.py:221-314`)."""
+        kw: Dict[str, object] = {}
+        types = {f.name: f for f in dataclasses.fields(cls)}
+        defaults = cls()
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith('#') or '=' not in line:
+                    continue
+                name, _, raw = line.partition('=')
+                name, raw = name.strip(), raw.strip()
+                if name not in types:
+                    continue
+                default = getattr(defaults, name)
+                if isinstance(default, bool):
+                    kw[name] = raw in ('True', 'true', '1')
+                elif isinstance(default, int):
+                    kw[name] = int(raw)
+                elif isinstance(default, float):
+                    kw[name] = float(raw)
+                elif isinstance(default, tuple):
+                    items = raw.split()
+                    if default and isinstance(default[0], int):
+                        kw[name] = tuple(int(x) for x in items)
+                    else:
+                        kw[name] = tuple(items)
+                else:
+                    kw[name] = raw
+        return cls(**kw)
+
+
+# Reference per-dataset configurations -----------------------------------------
+
+def threedmatch_config(**overrides) -> Config:
+    """Training config of `training_3DMatch.py:22-135`."""
+    cfg = Config(
+        dataset='3DMatch',
+        first_subsampling_dl=0.03,
+        safe_radius=0.1,
+        keypts_num=256,
+        augment_noise=0.005,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def kitti_config(**overrides) -> Config:
+    """Training config of `training_KITTI.py:22-136`."""
+    cfg = Config(
+        dataset='KITTI',
+        first_subsampling_dl=0.30,
+        safe_radius=1.0,
+        keypts_num=512,
+        augment_noise=0.01,
+        augment_scale_min=0.8,
+        augment_scale_max=1.2,
+        augment_shift_range=2.0,
+        max_points=32768,
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def eth_test_config(**overrides) -> Config:
+    """ETH zero-shot test rescaling of a 3DMatch model (`test_eth.py:37-39`)."""
+    cfg = threedmatch_config().replace(
+        dataset='ETH',
+        first_subsampling_dl=0.05,
+        KP_extent=2.0,
+    )
+    return cfg.replace(**overrides) if overrides else cfg

@@ -1,0 +1,151 @@
+"""Kernel-point dispositions for KPConv.
+
+Re-derivation of the reference's repulsive-potential placement
+(`kernels/kernel_points.py:41-181`): K points inside a unit ball minimizing
+
+    E(x) = sum_{i != j} 1 / ||x_i - x_j||  +  5 * sum_i ||x_i||^2
+
+by clipped gradient descent, optionally pinning point 0 at the origin
+(``fixed='center'``). The final disposition is rescaled so that the mean
+radius of the non-center points is 1, then multiplied by the layer's kernel
+radius (1.5 * KP_extent, `kernels/convolution_ops.py:128`).
+
+Differences from the reference (deliberate):
+  * fully seedable — the reference applies a *random* rotation + 1% jitter
+    at every load (`kernels/kernel_points.py:249-278`), making kernel
+    geometry nondeterministic per process. Here rotation/jitter take an
+    explicit seed that is persisted with checkpoints.
+  * the best-of-N disposition for K=15/center is committed as a constant
+    (generated once by this module), so model construction never runs the
+    optimizer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+_DISPOSITIONS_DIR = os.path.join(os.path.dirname(__file__), 'dispositions')
+
+
+def optimize_kernel_points(
+    num_points: int,
+    *,
+    dimension: int = 3,
+    fixed: str = 'center',
+    num_tries: int = 100,
+    max_iter: int = 10000,
+    seed: int = 0,
+) -> np.ndarray:
+    """Optimize `num_tries` candidate dispositions at once; return the one
+    whose final max gradient norm is lowest (most stable equilibrium)."""
+    rng = np.random.default_rng(seed)
+
+    # Rejection-sample starts uniformly inside the ball of radius 1/sqrt(2).
+    pts = np.empty((0, dimension))
+    need = num_tries * num_points
+    while pts.shape[0] < need:
+        cand = rng.uniform(-1.0, 1.0, size=(2 * need, dimension))
+        cand = cand[np.sum(cand**2, axis=1) < 0.5]
+        pts = np.concatenate([pts, cand], axis=0)
+    kp = pts[:need].reshape(num_tries, num_points, dimension)
+
+    if fixed == 'center':
+        kp[:, 0, :] = 0.0
+
+    lr = 1e-2
+    clip = 0.05
+    thresh = 1e-5
+    prev_norms = np.zeros((num_tries, num_points))
+    final_norms = np.full(num_tries, np.inf)
+    for _ in range(max_iter):
+        diff = kp[:, :, None, :] - kp[:, None, :, :]          # [T, K, K, D]
+        d2 = np.sum(diff**2, axis=-1)
+        # grad_i E = -sum_j (x_i - x_j)/d^3  (pair potential)  +  10 x_i
+        repulse = np.sum(diff / (d2[..., None] ** 1.5 + 1e-6), axis=2)
+        grad = -repulse + 10.0 * kp
+
+        norms = np.sqrt(np.sum(grad**2, axis=-1) + 1e-12)
+        final_norms = np.max(norms, axis=1)
+        moving = norms[:, 1:] if fixed == 'center' else norms
+        prev_moving = prev_norms[:, 1:] if fixed == 'center' else prev_norms
+        if np.max(np.abs(moving - prev_moving)) < thresh:
+            break
+        prev_norms = norms
+
+        step = np.minimum(lr * norms, clip)
+        if fixed == 'center':
+            step[:, 0] = 0.0
+        kp -= step[..., None] * grad / (norms[..., None] + 1e-6)
+        lr *= 0.9995
+
+    best = int(np.argmin(final_norms))
+    out = kp[best]
+    # normalize mean non-center radius to 1
+    r = np.sqrt(np.sum(out**2, axis=-1) + 1e-12)
+    out = out / np.mean(r[1:] if fixed == 'center' else r)
+    return out.astype(np.float32)
+
+
+def _disposition_path(num_points: int, fixed: str) -> str:
+    return os.path.join(_DISPOSITIONS_DIR, f'k_{num_points:03d}_{fixed}.npy')
+
+
+def load_kernel_points(
+    radius: float,
+    num_points: int = 15,
+    *,
+    dimension: int = 3,
+    fixed: str = 'center',
+    seed: Optional[int] = 42,
+    rotate: bool = True,
+    jitter: bool = True,
+) -> np.ndarray:
+    """Load (or generate+cache) a disposition and apply the load-time
+    random SO(3) rotation + gaussian jitter of `kernels/kernel_points.py:
+    249-278` — but driven by an explicit seed.
+
+    Returns float32 [num_points, dimension] scaled to ``radius``.
+    """
+    path = _disposition_path(num_points, fixed)
+    if os.path.exists(path):
+        base = np.load(path)
+    else:
+        base = optimize_kernel_points(
+            num_points, dimension=dimension, fixed=fixed
+        )
+        os.makedirs(_DISPOSITIONS_DIR, exist_ok=True)
+        np.save(path, base)
+
+    kp = base.astype(np.float64)
+    if rotate and dimension == 3:
+        rng = np.random.default_rng(seed)
+        kp = kp @ _random_rotation(rng)
+    kp = kp * radius
+    if jitter and dimension == 3:
+        rng_j = np.random.default_rng(None if seed is None else seed + 1)
+        kp = kp + rng_j.normal(scale=radius * 0.01, size=kp.shape)
+        if fixed == 'center':
+            # keep the pinned center exactly at the origin; the reference
+            # jitters it too, which slightly breaks the 'center' contract —
+            # documented deviation (quirk, not semantics).
+            kp[0] = 0.0
+    return kp.astype(np.float32)
+
+
+def _random_rotation(rng: np.random.Generator) -> np.ndarray:
+    """Uniform random rotation via Gram-Schmidt on two random vectors
+    (same construction as `kernels/kernel_points.py:249-270`)."""
+    while True:
+        u = rng.uniform(-1.0, 1.0, size=3)
+        u /= np.linalg.norm(u) + 1e-9
+        v = rng.uniform(-1.0, 1.0, size=3)
+        v /= np.linalg.norm(v) + 1e-9
+        if abs(np.dot(u, v)) <= 0.99:
+            break
+    v -= np.dot(u, v) * u
+    v /= np.linalg.norm(v) + 1e-9
+    w = np.cross(u, v)
+    return np.stack([u, v, w], axis=-1)

@@ -1,0 +1,136 @@
+"""Kernel Point Convolution — pure-JAX (XLA) formulation.
+
+Faithful re-expression of the reference graph op `KPConv_ops`
+(`kernels/convolution_ops.py:161-255`) over *fixed-degree, shadow-padded*
+neighbor matrices, as one fused einsum chain that XLA maps onto the MXU:
+
+  1. gather neighbor coords; the shadow row (index == n_support) reads a
+     virtual point at 1e6 (`convolution_ops.py:189-191`), pushing its
+     influence weight to zero for linear/gaussian influence;
+  2. center on the query point; squared distances to the K kernel points;
+  3. influence weights: constant / linear ``max(1 - sqrt(d^2+1e-10) /
+     (2*KP_extent), 0)`` / gaussian sigma = 0.3*extent
+     (`convolution_ops.py:207-224`) — note the reference's linear influence
+     reaches zero at d = 2*KP_extent, not KP_extent;
+  4. optional 'closest' mode: one-hot of the nearest kernel point
+     (`convolution_ops.py:227-232`);
+  5. gather neighbor features with a zero shadow row; weight and apply the
+     [K, C_in, C_out] kernel tensor;
+  6. **D3Feat density normalization** (`convolution_ops.py:249-253`): divide
+     by the number of neighbors whose feature-sum is strictly positive
+     (clamped to >= 1) — the paper's density-invariance term.
+
+A fused Pallas TPU kernel with identical semantics lives in
+`d3feat_tpu.ops.kpconv_pallas`; this module is the reference path and the
+golden-test oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def unary_conv(features: jax.Array, weights: jax.Array) -> jax.Array:
+    """1x1 convolution = matmul (`kernels/convolution_ops.py:90-99`)."""
+    return jnp.dot(features, weights, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=('kp_influence', 'aggregation_mode'))
+def kpconv(
+    query_points: jax.Array,      # [Nq, 3]
+    support_points: jax.Array,    # [Ns, 3]
+    neighbor_inds: jax.Array,     # [Nq, K_n] int32, shadow == Ns
+    features: jax.Array,          # [Ns, C_in]
+    kernel_points: jax.Array,     # [P, 3]
+    kernel_weights: jax.Array,    # [P, C_in, C_out]
+    kp_extent: float,
+    kp_influence: str = 'linear',
+    aggregation_mode: str = 'sum',
+) -> jax.Array:
+    """Rigid KPConv over fixed-degree padded neighborhoods.
+
+    Returns [Nq, C_out] float32.
+    """
+    n_s = support_points.shape[0]
+    p = kernel_points.shape[0]
+
+    # Shadow support row at 1e6 (convolution_ops.py:189-191).
+    supports_ext = jnp.concatenate(
+        [support_points, jnp.full((1, support_points.shape[1]), 1e6,
+                                  dtype=support_points.dtype)], axis=0)
+    neigh_xyz = supports_ext[neighbor_inds]                    # [Nq, K_n, 3]
+    rel = neigh_xyz - query_points[:, None, :]                 # [Nq, K_n, 3]
+
+    # Squared distances to each kernel point: ||rel||^2 - 2 rel.kp + ||kp||^2
+    # (expanded form avoids materializing [Nq, K_n, P, 3]). The dim-3
+    # contraction must run at full f32: on the MXU's default bf16 path the
+    # rounding error makes near-zero sq_dist negative -> sqrt() = NaN.
+    sq_rel = jnp.sum(rel * rel, axis=-1)                       # [Nq, K_n]
+    cross = jnp.einsum('nkd,pd->nkp', rel, kernel_points,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq_kp = jnp.sum(kernel_points * kernel_points, axis=-1)    # [P]
+    sq_dist = jnp.maximum(
+        sq_rel[:, :, None] - 2.0 * cross + sq_kp[None, None, :], 0.0)
+
+    if kp_influence == 'constant':
+        weights = jnp.ones_like(sq_dist)
+    elif kp_influence == 'linear':
+        weights = jnp.maximum(
+            1.0 - jnp.sqrt(sq_dist + 1e-10) / (2.0 * kp_extent), 0.0)
+    elif kp_influence == 'gaussian':
+        sigma = kp_extent * 0.3
+        weights = jnp.exp(-sq_dist / (2.0 * sigma * sigma + 1e-9))
+    else:
+        raise ValueError(f'unknown KP_influence: {kp_influence}')
+
+    if aggregation_mode == 'closest':
+        nearest = jnp.argmin(sq_dist, axis=2)                  # [Nq, K_n]
+        weights = weights * jax.nn.one_hot(nearest, p, dtype=weights.dtype)
+    elif aggregation_mode != 'sum':
+        raise ValueError(f'unknown aggregation mode: {aggregation_mode}')
+
+    # Zero shadow feature row (convolution_ops.py:234-237).
+    feats_ext = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), dtype=features.dtype)],
+        axis=0)
+    neigh_feats = feats_ext[neighbor_inds]                     # [Nq, K_n, C]
+
+    # [Nq, P, C] then [Nq, C_out] — both land on the MXU.
+    weighted = jnp.einsum('nkp,nkc->npc', weights, neigh_feats,
+                          preferred_element_type=jnp.float32)
+    out = jnp.einsum('npc,pco->no', weighted, kernel_weights,
+                     preferred_element_type=jnp.float32)
+
+    # Density normalization (convolution_ops.py:249-253): count neighbors
+    # with strictly positive feature-sum.
+    feat_sum = jnp.sum(neigh_feats, axis=-1)                   # [Nq, K_n]
+    neighbor_num = jnp.sum((feat_sum > 0.0).astype(out.dtype), axis=-1)
+    neighbor_num = jnp.maximum(neighbor_num, 1.0)
+    return out / neighbor_num[:, None]
+
+
+def index_max_pool(features: jax.Array, inds: jax.Array) -> jax.Array:
+    """Max-pool rows of ``features`` over index lists.
+
+    Reference `ind_max_pool` (`models/network_blocks.py:51-66`): the shadow
+    row carries the column-wise minimum so padded slots never win the max.
+    """
+    shadow = jnp.min(features, axis=0, keepdims=True)
+    feats_ext = jnp.concatenate([features, shadow], axis=0)
+    return jnp.max(feats_ext[inds], axis=1)
+
+
+def closest_pool(features: jax.Array, inds: jax.Array) -> jax.Array:
+    """Copy the feature of the nearest (first-column) support point.
+
+    Reference `closest_pool` (`models/network_blocks.py:69-83`): shadow row
+    is zeros; only column 0 (nearest, lists are distance-sorted) is used.
+    """
+    feats_ext = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]), dtype=features.dtype)],
+        axis=0)
+    return feats_ext[inds[:, 0]]
