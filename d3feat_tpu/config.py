@@ -91,8 +91,11 @@ class Config:
     # derive their capacity via `level_capacity_ratios`.
     max_points: int = 65536
     # Upper bound on |level l+1| / |level l| after 2x voxel subsampling.
-    # 3DMatch empirical worst case is ~0.4; 0.5 is safe.
+    # 3DMatch empirical worst case is ~0.4; 0.5 is safe for dense surface
+    # scans (sparse synthetic clouds may need 1.0 or explicit level_caps).
     level_capacity_ratio: float = 0.5
+    # Explicit per-level capacities; overrides the ratio derivation if set.
+    level_caps: Tuple[int, ...] = ()
     # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
     size_multiple: int = 1024
     # Compute dtype for conv/matmul inputs ('float32' or 'bfloat16').
@@ -138,6 +141,9 @@ class Config:
 
     def level_capacities(self) -> Tuple[int, ...]:
         """Static per-level point capacities N_l (padded)."""
+        if self.level_caps:
+            assert len(self.level_caps) == self.num_layers
+            return self.level_caps
         caps = []
         n = self.max_points
         for _ in range(self.num_layers):

@@ -1,0 +1,197 @@
+"""KPFCNN encoder/decoder + D3Feat soft detection head (flax linen).
+
+Re-design of `models/D3Feat.py` + `models/network_blocks.py:1052-1118` +
+the input unpacking of `models/KPFCNN_model.py:86-121`, generalized from
+the reference's hard-wired 2-cloud (anchor+positive) stacking to B clouds
+via `cloud_inds` segment ops, and made shape-static (pad rows masked).
+
+Forward contract (reference `assemble_FCNN_blocks`, `models/D3Feat.py:5-115`):
+  returns (descriptors [N0, 32] L2-normalized, scores [N0, 1]).
+
+Detection-head semantics reproduced exactly (`models/D3Feat.py:67-115`):
+  * per-cloud **scalar** max normalization of the decoder features — the
+    reference's `tf.reduce_max` with no axis reduces over points AND
+    channels (`:84-90`);
+  * alpha = softplus(f - mean over radius-neighbors), neighbor mean uses
+    `count_nonzero` of channel-sums (`:92-98`);
+  * beta = f / (1e-6 + channel max) (`:100-102`);
+  * score = channel-max of alpha*beta (`:104-106`).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.models.blocks import (BlockCtx, LastUnary, ResnetBlock,
+                                      ResnetBottleneck, SimpleBlock, Unary,
+                                      max_pool, nearest_upsample)
+
+
+def init_kpfcnn(config: Config, pyramid: Dict, seed: int = 0):
+    """Build a KPFCNN and initialize its variables under jit.
+
+    Un-jitted flax init dispatches every op eagerly (~300 s on TPU for the
+    flagship model); jitting it compiles once (~13 s).
+    """
+    model = KPFCNN(config)
+    variables = jax.jit(model.init, static_argnames='training')(
+        jax.random.PRNGKey(seed), pyramid, training=False)
+    return model, variables
+
+
+class KPFCNN(nn.Module):
+    """Fully-convolutional kernel-point network with detection head."""
+    config: Config
+
+    @nn.compact
+    def __call__(self, pyramid: Dict, training: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        ctx = BlockCtx(pyramid, cfg)
+        arch = cfg.architecture
+
+        # ---------------- encoder (network_blocks.py:1052-1118) -----------
+        r = cfg.first_subsampling_dl * cfg.density_parameter
+        layer = 0
+        fdim = cfg.first_features_dim
+        features = pyramid['features']
+        skips = []
+        kp_seed = cfg.kernel_seed
+        block_i = 0
+
+        def next_seed():
+            nonlocal kp_seed
+            kp_seed += 100
+            return kp_seed
+
+        for block_i, block in enumerate(arch):
+            if any(t in block for t in ('pool', 'strided', 'upsample',
+                                        'global')):
+                skips.append(features)
+            if 'upsample' in block:
+                break
+            name = f'layer{layer}_{block}_{block_i}'
+            features = self._encoder_block(
+                block, ctx, features, layer, r, fdim, training, name,
+                next_seed())
+            if 'pool' in block or 'strided' in block:
+                layer += 1
+                r *= 2.0
+                fdim *= 2
+        else:
+            raise ValueError('architecture has no upsample block')
+
+        # ---------------- decoder (models/D3Feat.py:26-63) ----------------
+        start_i = block_i
+        layer = cfg.num_layers - 1
+        r = cfg.first_subsampling_dl * cfg.density_parameter * 2 ** layer
+        fdim = cfg.first_features_dim * 2 ** layer
+        for j, block in enumerate(arch[start_i:]):
+            name = f'uplayer{layer}_{block}_{j}'
+            if block == 'nearest_upsample':
+                features = nearest_upsample(ctx, features, layer)
+                layer -= 1
+                r *= 0.5
+                fdim //= 2
+                features = jnp.concatenate([features, skips[layer]], axis=1)
+            elif block == 'unary':
+                features = Unary(cfg, fdim, name=name)(
+                    features, ctx.mask(layer), training)
+            elif block == 'last_unary':
+                features = LastUnary(cfg, name=name)(
+                    features, ctx.mask(layer), training)
+            else:
+                raise ValueError(f'unsupported decoder block: {block}')
+
+        # descriptors: L2-normalize, eps 1e-10 (models/D3Feat.py:65)
+        sq = jnp.sum(jnp.square(features), axis=1, keepdims=True)
+        descriptors = features * jax.lax.rsqrt(jnp.maximum(sq, 1e-10))
+
+        scores = detection_scores(
+            pyramid['neighbors'][0], pyramid['cloud_inds'],
+            pyramid['masks'][0], features,
+            num_clouds=pyramid['lengths'][0].shape[0])
+        return descriptors, scores
+
+    def _encoder_block(self, block, ctx, features, layer, r, fdim,
+                       training, name, seed):
+        cfg = self.config
+        if block == 'simple':
+            return SimpleBlock(cfg, fdim, layer, r, seed, name=name)(
+                ctx, features, training)
+        if block == 'simple_strided':
+            return SimpleBlock(cfg, fdim, layer, r, seed, strided=True,
+                               name=name)(ctx, features, training)
+        if block == 'resnet':
+            return ResnetBlock(cfg, fdim, layer, r, seed, name=name)(
+                ctx, features, training)
+        if block == 'resnetb' or block == 'resnetb_light':
+            return ResnetBottleneck(cfg, fdim, layer, r, seed, name=name)(
+                ctx, features, training)
+        if block == 'resnetb_strided' or block == 'resnetb_light_strided':
+            return ResnetBottleneck(cfg, fdim, layer, r, seed, strided=True,
+                                    name=name)(ctx, features, training)
+        if block == 'unary':
+            return Unary(cfg, fdim, name=name)(
+                features, ctx.mask(layer), training)
+        if block == 'max_pool' or block == 'max_pool_wide':
+            return max_pool(ctx, features, layer)
+        if 'deformable' in block or 'inception' in block:
+            raise NotImplementedError(
+                f'{block}: deformable KPConv is dead code in every shipped '
+                'reference config (SURVEY.md §2.2) and is not implemented')
+        raise ValueError(f'unknown block name: {block}')
+
+
+def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
+                     mask0: jax.Array, features: jax.Array,
+                     num_clouds: int) -> jax.Array:
+    """D3Feat soft detection score (`models/D3Feat.py:67-115`).
+
+    Args:
+      neighbors0: [N0, K] level-0 neighbor lists (shadow == N0).
+      cloud_inds: [N0] cloud id per row (pad rows -> num_clouds).
+      mask0: [N0] valid-row mask.
+      features: [N0, D] *unnormalized* decoder output.
+      num_clouds: static B.
+
+    Returns [N0, 1] scores (pad rows 0).
+    """
+    n0, d = features.shape
+    neg_inf = jnp.asarray(-jnp.inf, features.dtype)
+
+    # per-cloud scalar max over valid rows, all channels (D3Feat.py:84-90).
+    # Clamped at >= 0: the reference gathers via in_batches rows that are
+    # padded with the zero shadow row (datasets/common.py:465-495), so its
+    # max implicitly includes 0 for every cloud except the batch's largest;
+    # we apply the clamp uniformly.
+    row_max = jnp.max(jnp.where(mask0[:, None], features, neg_inf), axis=1)
+    cloud_max = jax.ops.segment_max(row_max, cloud_inds,
+                                    num_segments=num_clouds + 1)
+    cloud_max = jnp.maximum(cloud_max, 0.0)
+    per_row_max = cloud_max[jnp.minimum(cloud_inds, num_clouds)]
+    f = features / (per_row_max[:, None] + 1e-6)
+    f = jnp.where(mask0[:, None], f, 0.0)
+
+    # local saliency alpha (D3Feat.py:92-98); shadow row is zeros
+    f_ext = jnp.concatenate([f, jnp.zeros((1, d), f.dtype)], axis=0)
+    neigh_f = f_ext[neighbors0]                          # [N0, K, D]
+    neigh_sum = jnp.sum(neigh_f, axis=-1)                # [N0, K]
+    # reference uses count_nonzero here (not >0 as in the conv op)
+    neigh_num = jnp.sum((neigh_sum != 0.0).astype(f.dtype), axis=-1,
+                        keepdims=True)
+    neigh_num = jnp.maximum(neigh_num, 1.0)
+    mean_f = jnp.sum(neigh_f, axis=1) / neigh_num
+    alpha = jax.nn.softplus(f - mean_f)
+
+    # channel-max ratio beta (D3Feat.py:100-102)
+    depth_max = jnp.max(f, axis=1, keepdims=True)
+    beta = f / (1e-6 + depth_max)
+
+    score = jnp.max(alpha * beta, axis=1, keepdims=True)
+    return jnp.where(mask0[:, None], score, 0.0)
