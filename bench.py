@@ -1,0 +1,100 @@
+"""Benchmark: dense descriptors + detection scores for a ~100k-pt fragment.
+
+North-star target (BASELINE.md): < 50 ms on 1x TPU v5e for the full
+forward (5-level KPConv pyramid network + detection head), matching the
+reference's feature-extraction timing hook (`utils/tester.py:196-200,233`).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline = 50 ms / measured ms (>1 means faster than target).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_MS = 50.0
+N_POINTS = 100_000
+WARMUP = 2
+ITERS = 10
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def surface_fragment(rng, n, extent=6.0):
+    """Synthetic indoor-scan-like 2D manifold, ~3DMatch density after 3cm
+    voxelization (so the pyramid has realistic level sizes)."""
+    uv = rng.random((n, 2)) * extent
+    z = (np.sin(uv[:, 0] * 1.7) * 0.4 + np.cos(uv[:, 1] * 1.3) * 0.3
+         + rng.normal(0.0, 0.01, n))
+    return np.stack([uv[:, 0], uv[:, 1], z], axis=1).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from d3feat_tpu.config import threedmatch_config
+    from d3feat_tpu.data.batching import make_test_batch
+    from d3feat_tpu.models import init_kpfcnn
+
+    log(f'devices: {jax.devices()}')
+    rng = np.random.default_rng(0)
+    cloud = surface_fragment(rng, N_POINTS)
+    # tight bucket: smallest multiple of 1024 holding the cloud
+    cfg = threedmatch_config(size_multiple=1024,
+                             max_points=-(-N_POINTS // 1024) * 1024)
+
+    t0 = time.perf_counter()
+    batch = make_test_batch(cloud, cfg)
+    log(f'host pyramid: {(time.perf_counter() - t0) * 1e3:.0f} ms, '
+        f'level sizes {[int(x.sum()) for x in batch["pyramid"]["lengths"]]}')
+
+    model, variables = init_kpfcnn(cfg, batch['pyramid'])
+    fwd = jax.jit(lambda v, p: model.apply(v, p, training=False))
+    # NOTE: on the axon tunnel backend block_until_ready() returns
+    # immediately, so timing must force a data dependency: reduce the
+    # outputs to a scalar on-device and fetch it. Per-iteration time is the
+    # marginal cost of chaining extra executions (removes the fetch RTT).
+    def _probe(v, p):
+        d, s = model.apply(v, p, training=False)
+        return jnp.sum(d) + jnp.sum(s)
+
+    probe = jax.jit(_probe)
+
+    pyramid = jax.device_put(batch['pyramid'])
+    t0 = time.perf_counter()
+    float(probe(variables, pyramid))
+    log(f'compile+first run: {time.perf_counter() - t0:.1f} s')
+
+    def chain(n):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = probe(variables, pyramid)
+        val = float(out)
+        return (time.perf_counter() - t0) * 1e3, val
+
+    chain(WARMUP)
+    t1, val = chain(1)
+    tn, _ = chain(ITERS)
+    ms = (tn - t1) / (ITERS - 1)
+    log(f'1 run + fetch: {t1:.1f} ms; {ITERS} runs + fetch: {tn:.1f} ms; '
+        f'marginal per-forward: {ms:.1f} ms; probe value {val:.3f}')
+
+    desc, score = fwd(variables, pyramid)
+    assert np.isfinite(np.asarray(desc)).all()
+    assert np.isfinite(np.asarray(score)).all()
+
+    print(json.dumps({
+        'metric': 'dense_desc_score_100k_forward',
+        'value': round(ms, 2),
+        'unit': 'ms',
+        'vs_baseline': round(TARGET_MS / ms, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,2 @@
+from d3feat_tpu.parallel.data_parallel import (  # noqa: F401
+    make_dp_train_step, make_mesh, shard_batch, stack_batches)

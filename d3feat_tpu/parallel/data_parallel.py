@@ -1,0 +1,114 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.9); this
+module is the TPU-native *new capability*: batch = B fragment pairs, one
+pair per device along a 'data' mesh axis. Parameters and optimizer state
+are replicated; XLA inserts the psum gradient all-reduce over ICI from the
+sharding annotations (no hand-written collectives needed at 14M params —
+the model is far below the sharding threshold for TP/PP).
+
+Batch-norm under DP: each pair contributes its own masked moments (exactly
+the reference's batch_num=1 semantics per device); the running stats are
+updated with the across-pair mean of the per-pair moments.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.models.kpfcnn import KPFCNN
+from d3feat_tpu.train.losses import d3feat_loss
+from d3feat_tpu.train.trainer import TrainState, make_optimizer
+
+
+def make_mesh(n_devices: int | None = None, axis: str = 'data') -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f'need {n_devices} devices, have {len(devices)}')
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def stack_batches(batches: List[Dict]) -> Dict:
+    """Stack B single-pair batches (identical static shapes) along a new
+    leading axis."""
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *batches)
+
+
+def shard_batch(batch: Dict, mesh: Mesh, axis: str = 'data') -> Dict:
+    """Place a stacked batch with its leading axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_dp_train_step(config: Config, mesh: Mesh, axis: str = 'data'
+                       ) -> Callable:
+    """Jitted data-parallel train step: (state, stacked_batch) ->
+    (state, metrics). state replicated, batch sharded on its leading axis."""
+    model = KPFCNN(config)
+    tx = make_optimizer(config)
+
+    def per_pair_loss(params, batch_stats, kpoints, batch):
+        variables = {'params': params, 'batch_stats': batch_stats,
+                     'kpoints': kpoints}
+        (desc, scores), mutated = model.apply(
+            variables, batch['pyramid'], training=True,
+            mutable=['batch_stats'])
+        anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
+        losses = d3feat_loss(
+            desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
+            batch['keypts_dists'], batch['corr_valid'],
+            safe_radius=config.safe_radius,
+            pos_margin=config.pos_margin,
+            neg_margin=config.neg_margin,
+            log_scale=config.log_scale,
+            det_weight=config.det_loss_weight,
+            keypts_num=config.keypts_num,
+            loss_type=config.loss_type)
+        return losses['loss'], (losses, mutated['batch_stats'])
+
+    def loss_fn(params, batch_stats, kpoints, stacked_batch):
+        per_pair = lambda b: per_pair_loss(params, batch_stats, kpoints, b)
+        losses, (metrics, new_bs) = jax.vmap(per_pair)(stacked_batch)
+        # mean over pairs -> grads get the 1/B factor; XLA all-reduces
+        mean_loss = jnp.mean(losses)
+        from d3feat_tpu.train.trainer import weight_l2
+        reg = config.weights_decay * weight_l2(params)
+        metrics = jax.tree.map(jnp.mean, metrics)
+        metrics['reg_loss'] = reg
+        metrics['total'] = mean_loss + reg
+        new_bs = jax.tree.map(lambda x: jnp.mean(x, axis=0), new_bs)
+        return mean_loss + reg, (metrics, new_bs)
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P(axis))
+
+    @jax.jit
+    def train_step(state: TrainState, stacked_batch
+                   ) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.kpoints, stacked_batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, kpoints=state.kpoints,
+                               opt_state=new_opt)
+        return new_state, metrics
+
+    def run(state, stacked_batch):
+        state = jax.device_put(state, replicated)
+        stacked_batch = jax.tree.map(
+            lambda x: jax.device_put(x, sharded), stacked_batch)
+        return train_step(state, stacked_batch)
+
+    return run

@@ -1,0 +1,276 @@
+"""Training runtime: optimizer, jitted train/eval steps, epoch loop.
+
+Replaces the reference `ModelTrainer` (`utils/trainer.py:107-498`) with a
+functional JAX design: one jitted train step (forward + loss + SGD update)
+over static-shape batches.
+
+Optimizer parity with `utils/trainer.py:116-156` and
+`training_3DMatch.py:101-122`:
+  * SGD + momentum 0.98 (`tf.train.MomentumOptimizer`, non-Nesterov);
+  * per-variable gradient clip to L2 norm 100 (`clip_by_norm`);
+  * lr = learning_rate * lr_decay^epoch, re-assigned at epoch boundaries
+    (`utils/trainer.py:377-381`);
+  * L2 weight regularization weights_decay * sum(||w||^2 / 2) over conv and
+    unary 'weights' params only (`models/KPFCNN_model.py:188-191`).
+
+The offset-gradient x0.1 scaling of the reference (`utils/trainer.py:
+130-142`) applies only to deformable KPConv offsets — dead code in every
+shipped config — and is intentionally not implemented.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.models.kpfcnn import KPFCNN
+from d3feat_tpu.train.losses import cdist, d3feat_loss
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    kpoints: Any
+    opt_state: Any
+
+
+def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
+    """tf.clip_by_norm applied to each variable independently
+    (`utils/trainer.py:130-142`)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g)))
+            return g * jnp.minimum(1.0, max_norm / (norm + 1e-12))
+
+        return jax.tree.map(clip, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(config: Config) -> optax.GradientTransformation:
+    """clip(100) -> momentum(0.98) -> -lr(epoch) schedule."""
+
+    def lr_schedule(step):
+        epoch = step // config.epoch_steps
+        return config.learning_rate * jnp.power(config.lr_decay, epoch)
+
+    return optax.chain(
+        clip_by_per_variable_norm(config.grad_clip_norm),
+        optax.trace(decay=config.momentum, nesterov=False),
+        optax.scale_by_learning_rate(lr_schedule),
+    )
+
+
+def weight_l2(params) -> jax.Array:
+    """sum of ||w||^2/2 over 'weights' leaves (tf.nn.l2_loss semantics,
+    `models/KPFCNN_model.py:188-191`)."""
+    total = 0.0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
+        if any('weights' in str(n) for n in names):
+            total = total + 0.5 * jnp.sum(jnp.square(leaf))
+    return total
+
+
+def create_train_state(config: Config, variables: Dict) -> TrainState:
+    tx = make_optimizer(config)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        kpoints=variables.get('kpoints', {}),
+        opt_state=tx.init(variables['params']),
+    )
+
+
+def make_train_step(config: Config) -> Callable:
+    """Returns a jitted train_step(state, batch) -> (state, metrics).
+
+    batch keys:
+      pyramid      — dict from build_pyramid
+      anc_inds     — [M] int32 level-0 row of each anchor correspondence
+      pos_inds     — [M] int32 level-0 row of each positive correspondence
+      corr_valid   — [M] bool
+      keypts_dists — [M, M] f32 spatial distances between the *unaugmented*
+                     anchor keypoints (`models/KPFCNN_model.py:131-132`)
+    """
+    model = KPFCNN(config)
+    tx = make_optimizer(config)
+
+    def loss_fn(params, batch_stats, kpoints, batch):
+        variables = {'params': params, 'batch_stats': batch_stats,
+                     'kpoints': kpoints}
+        (desc, scores), mutated = model.apply(
+            variables, batch['pyramid'], training=True,
+            mutable=['batch_stats'])
+        anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
+        losses = d3feat_loss(
+            desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
+            batch['keypts_dists'], batch['corr_valid'],
+            safe_radius=config.safe_radius,
+            pos_margin=config.pos_margin,
+            neg_margin=config.neg_margin,
+            log_scale=config.log_scale,
+            det_weight=config.det_loss_weight,
+            keypts_num=config.keypts_num,
+            loss_type=config.loss_type)
+        reg = config.weights_decay * weight_l2(params)
+        total = losses['loss'] + reg
+        losses['reg_loss'] = reg
+        losses['total'] = total
+        return total, (losses, mutated['batch_stats'])
+
+    @jax.jit
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.kpoints, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, kpoints=state.kpoints,
+                               opt_state=new_opt)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(config: Config) -> Callable:
+    """Jitted validation step: forward (running BN stats) + losses."""
+    model = KPFCNN(config)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch) -> Dict:
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'kpoints': state.kpoints}
+        desc, scores = model.apply(variables, batch['pyramid'],
+                                   training=False)
+        anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
+        return d3feat_loss(
+            desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
+            batch['keypts_dists'], batch['corr_valid'],
+            safe_radius=config.safe_radius,
+            pos_margin=config.pos_margin,
+            neg_margin=config.neg_margin,
+            log_scale=config.log_scale,
+            det_weight=config.det_loss_weight,
+            keypts_num=config.keypts_num,
+            loss_type=config.loss_type)
+
+    return eval_step
+
+
+def make_forward(config: Config) -> Callable:
+    """Jitted inference: pyramid -> (descriptors, scores)."""
+    model = KPFCNN(config)
+
+    @jax.jit
+    def forward(variables, pyramid):
+        return model.apply(variables, pyramid, training=False)
+
+    return forward
+
+
+class Trainer:
+    """Epoch loop with snapshots, lr decay (inside the schedule), logging,
+    validation, and the reference's cooperative kill-file
+    (`utils/trainer.py:222-224,330-332`)."""
+
+    def __init__(self, config: Config, save_dir: str):
+        self.config = config
+        self.save_dir = save_dir
+        os.makedirs(save_dir, exist_ok=True)
+        config.save(os.path.join(save_dir, 'parameters.txt'))
+        self.train_step = make_train_step(config)
+        self.eval_step = make_eval_step(config)
+        self.log_path = os.path.join(save_dir, 'training.txt')
+        self.kill_file = os.path.join(save_dir, 'running_PID.txt')
+
+    def _log(self, msg: str) -> None:
+        with open(self.log_path, 'a') as fh:
+            fh.write(msg + '\n')
+
+    def train(
+        self,
+        state: TrainState,
+        train_batches: Callable[[], Iterator[Dict]],
+        val_batches: Optional[Callable[[], Iterator[Dict]]] = None,
+        num_epochs: Optional[int] = None,
+    ) -> TrainState:
+        cfg = self.config
+        num_epochs = num_epochs or cfg.max_epoch
+        with open(self.kill_file, 'w') as fh:
+            fh.write(str(os.getpid()))
+        try:
+            for epoch in range(num_epochs):
+                state = self._run_epoch(state, train_batches, epoch)
+                if val_batches is not None:
+                    self._validate(state, val_batches, epoch)
+                if (epoch + 1) % cfg.snapshot_gap == 0:
+                    self.snapshot(state, epoch)
+                if not os.path.exists(self.kill_file):
+                    self._log(f'# kill file removed, stopping after epoch '
+                              f'{epoch}')
+                    break
+        finally:
+            if os.path.exists(self.kill_file):
+                os.remove(self.kill_file)
+        return state
+
+    def _run_epoch(self, state, train_batches, epoch):
+        cfg = self.config
+        t_last = time.perf_counter()
+        for i, batch in enumerate(train_batches()):
+            if i >= cfg.epoch_steps:
+                break
+            state, metrics = self.train_step(state, batch)
+            if i % 100 == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.perf_counter() - t_last
+                t_last = time.perf_counter()
+                self._log(
+                    f'e{epoch:03d} s{i:05d} loss={m["total"]:.4f} '
+                    f'desc={m["desc_loss"]:.4f} det={m["det_loss"]:.4f} '
+                    f'acc={m["accuracy"]:.3f} d_pos={m["d_pos"]:.3f} '
+                    f'd_neg={m["d_neg"]:.3f} dt={dt:.1f}s')
+            if not os.path.exists(self.kill_file):
+                break
+        return state
+
+    def _validate(self, state, val_batches, epoch):
+        cfg = self.config
+        agg: Dict[str, float] = {}
+        n = 0
+        for i, batch in enumerate(val_batches()):
+            if i >= cfg.validation_size:
+                break
+            metrics = self.eval_step(state, batch)
+            for k, v in metrics.items():
+                agg[k] = agg.get(k, 0.0) + float(v)
+            n += 1
+        if n:
+            msg = ' '.join(f'{k}={v / n:.4f}' for k, v in sorted(agg.items()))
+            self._log(f'# val e{epoch:03d} {msg}')
+
+    def snapshot(self, state: TrainState, epoch: int) -> None:
+        from d3feat_tpu.utils.checkpoint import save_checkpoint
+        save_checkpoint(os.path.join(self.save_dir, f'snap-{epoch}'), state)

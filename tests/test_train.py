@@ -1,0 +1,150 @@
+"""Training-loop tests: train step runs, loss decreases, checkpoint
+round-trip, optimizer parity pieces."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from d3feat_tpu.config import threedmatch_config
+from d3feat_tpu.data.batching import make_test_batch, make_training_batch
+from d3feat_tpu.models import init_kpfcnn
+from d3feat_tpu.train.trainer import (clip_by_per_variable_norm,
+                                      create_train_state, make_eval_step,
+                                      make_forward, make_train_step,
+                                      weight_l2)
+from d3feat_tpu.utils.checkpoint import (latest_snapshot, restore_checkpoint,
+                                         save_checkpoint)
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        max_points=1024,
+        size_multiple=64,
+        level_capacity_ratio=1.0,
+        first_features_dim=8,
+        out_features_dim=8,
+        neighborhood_limits=(10, 10, 10, 10, 10),
+        keypts_num=32,
+        epoch_steps=10,
+    )
+    base.update(kw)
+    return threedmatch_config(**base)
+
+
+def synthetic_pair(rng, n=300):
+    """Anchor cloud + rigidly moved copy; correspondences are identity."""
+    anc = (rng.random((n, 3)) * 2.0).astype(np.float32)
+    theta = 0.4
+    c, s = np.cos(theta), np.sin(theta)
+    r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    pos = anc @ r
+    corr = np.stack([np.arange(n), np.arange(n)], axis=1)
+    return anc, pos, corr
+
+
+def test_train_step_decreases_loss(rng):
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(rng)
+    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
+    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+    state = create_train_state(cfg, variables)
+    step = make_train_step(cfg)
+
+    state, m0 = step(state, batch)
+    losses = [float(m0['total'])]
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m['total']))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 9
+    # accuracy is a valid fraction
+    assert 0.0 <= float(m['accuracy']) <= 1.0
+
+
+def test_batch_stats_update(rng):
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(rng)
+    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
+    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+    state = create_train_state(cfg, variables)
+    step = make_train_step(cfg)
+    new_state, _ = step(state, batch)
+    before = jax.tree.leaves(state.batch_stats)
+    after = jax.tree.leaves(new_state.batch_stats)
+    changed = any(not np.allclose(b, a) for b, a in zip(before, after))
+    assert changed
+
+
+def test_eval_step_and_forward(rng):
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(rng)
+    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
+    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+    state = create_train_state(cfg, variables)
+    metrics = make_eval_step(cfg)(state, batch)
+    assert np.isfinite(float(metrics['loss']))
+    fwd = make_forward(cfg)
+    desc, score = fwd(variables, make_test_batch(anc, cfg.replace(
+        max_points=512))['pyramid'])
+    assert np.isfinite(np.asarray(desc)).all()
+
+
+def test_lr_schedule_epoch_decay():
+    cfg = tiny_cfg(learning_rate=0.1, epoch_steps=10)
+    from d3feat_tpu.train.trainer import make_optimizer
+    del make_optimizer  # schedule is internal; test observable decay instead
+    # lr at step 0 vs step epoch_steps must differ by lr_decay
+    from d3feat_tpu.train import trainer as tr
+    tx = tr.make_optimizer(cfg)
+    params = {'w': jnp.ones(3)}
+    opt_state = tx.init(params)
+    g = {'w': jnp.ones(3)}
+    # first step of epoch 0
+    up0, opt_state = tx.update(g, opt_state, params)
+    # advance trace state to a later epoch by faking many updates
+    for _ in range(10):
+        up, opt_state = tx.update(g, opt_state, params)
+    # momentum accumulates: v_k = sum m^i; lr decays by lr_decay each epoch
+    # check update magnitude at epoch 1 reflects decayed lr / accumulated v
+    v0 = float(-up0['w'][0]) / 0.1  # = 1 (fresh trace)
+    assert abs(v0 - 1.0) < 1e-6
+    expected_lr = 0.1 * cfg.lr_decay  # epoch 1 (11th update, count=10)
+    v11 = sum(0.98 ** i for i in range(11))
+    np.testing.assert_allclose(float(-up['w'][0]), expected_lr * v11,
+                               rtol=1e-5)
+
+
+def test_per_variable_clip():
+    clip = clip_by_per_variable_norm(1.0)
+    g = {'a': jnp.array([3.0, 4.0]), 'b': jnp.array([0.1, 0.0])}
+    out, _ = clip.update(g, clip.init(g))
+    np.testing.assert_allclose(np.linalg.norm(out['a']), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out['b'], g['b'], rtol=1e-6)  # under norm
+
+
+def test_weight_l2_selects_weights_only():
+    params = {'block': {'weights': jnp.ones((2, 2)),
+                        'gamma': jnp.ones(4) * 10}}
+    assert float(weight_l2(params)) == 2.0  # 0.5 * 4 ones
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(rng)
+    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
+    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+    state = create_train_state(cfg, variables)
+    step = make_train_step(cfg)
+    state, _ = step(state, batch)
+
+    path = os.path.join(tmp_path, 'snap-0')
+    save_checkpoint(path, state)
+    template = create_train_state(cfg, variables)
+    restored = restore_checkpoint(path, template)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert latest_snapshot(str(tmp_path)) == path
