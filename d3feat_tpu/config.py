@@ -98,8 +98,12 @@ class Config:
     level_caps: Tuple[int, ...] = ()
     # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
     size_multiple: int = 1024
-    # Compute dtype for conv/matmul inputs ('float32' or 'bfloat16').
-    compute_dtype: str = 'float32'
+    # Compute dtype for gather tables / conv einsums ('float32' keeps exact
+    # reference-math parity; 'bfloat16' is ~2x faster on the MXU/gathers).
+    compute_dtype: str = 'bfloat16'
+    # The network input feature is the constant 1 (ThreeDMatch.py:316);
+    # enables the gather-free first conv. Set False if feeding real features.
+    ones_input_features: bool = True
 
     # ---- training ----------------------------------------------------------
     max_epoch: int = 200

@@ -1,31 +1,35 @@
 """Network building blocks (flax linen).
 
 Re-designed equivalents of the reference block library
-(`models/network_blocks.py`). Only masked/static-shape semantics differ:
+(`models/network_blocks.py`), restructured for TPU:
 
-  * every feature array carries pad rows; batch-norm moments exclude them
-    (the reference normalizes over all stacked real points — batch=1 pair,
-    `network_blocks.py:149-165`);
-  * weight init: truncated normal, std sqrt(2/fan_out), values rounded to
-    3 decimals — reproducing `weight_variable` (`network_blocks.py:37-41`)
-    including its rounding quirk, so fresh trainings start from the same
-    distribution;
-  * each KPConv block owns a non-trainable `kernel_points` variable (the
-    reference stores per-conv randomly-rotated dispositions as tf
-    Variables, `convolution_ops.py:144-148`); here the rotation is seeded
-    by (config.kernel_seed, a per-block counter) and checkpointed.
+  * **Shared per-level geometry.** Influence weights [N, K, P] are computed
+    once per (level, index-matrix) and reused by every KPConv at that level
+    (`d3feat_tpu.ops.kpconv.influence_weights`). This requires one kernel
+    disposition per *level* instead of per conv — a documented deviation
+    from the reference, which re-rotates the disposition per conv
+    (`kernels/convolution_ops.py:137-148`); dispositions are still seeded
+    and checkpointed.
+  * **Lane-padded gather tables.** Neighbor-feature gathers read from a
+    [Ns+1, 128-lane] zero-padded table (`lane_pad_table`) — measured ~2x
+    faster than 32-lane rows on v5e, with the weight einsum fused over the
+    padded gather.
+  * **Ones-input shortcut.** The network input is constant ones
+    (`datasets/ThreeDMatch.py:316`); the first conv then needs no feature
+    gather at all (`kpconv_ones`).
+  * masked batch norm (pad rows excluded from moments; the reference
+    normalizes over all stacked real points, `network_blocks.py:149-165`);
+  * weight init: truncated normal, std sqrt(2/fan_out), rounded to 3
+    decimals (`network_blocks.py:37-41`, rounding quirk reproduced).
 
-Block registry parity with `get_block_ops` (`network_blocks.py:982-1042`):
-unary, last_unary, simple, simple_strided, resnet, resnetb, resnetb_light,
-resnetb_strided, resnetb_light_strided, vgg, max_pool, global_average,
-nearest_upsample, simple_upsample, resnetb_upsample. Deformable variants are
-dead code in all shipped configs (see SURVEY.md §2.2) and are rejected with
-a clear error.
+Block registry parity with `get_block_ops` (`network_blocks.py:982-1042`).
+Deformable variants are dead code in all shipped configs (SURVEY.md §2.2)
+and are rejected with a clear error.
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -34,8 +38,9 @@ import numpy as np
 
 from d3feat_tpu.config import Config
 from d3feat_tpu.ops.kernel_points import load_kernel_points
-from d3feat_tpu.ops.kpconv import (closest_pool, index_max_pool, kpconv,
-                                   unary_conv)
+from d3feat_tpu.ops.kpconv import (closest_pool, index_max_pool,
+                                   influence_weights, kpconv_apply,
+                                   kpconv_ones, lane_pad_table, unary_conv)
 
 
 def trunc_normal_rounded(std: float):
@@ -95,12 +100,18 @@ class MaskedBatchNorm(nn.Module):
 
 
 class BlockCtx:
-    """Per-call context handed to blocks: the pyramid plus config."""
+    """Per-forward context: the pyramid, config, and lazily-computed shared
+    geometry (per-level influence weights)."""
 
-    def __init__(self, pyramid: Dict[str, Any], config: Config):
+    def __init__(self, pyramid: Dict[str, Any], config: Config,
+                 kernel_points):
         self.pyramid = pyramid
         self.config = config
+        self.kernel_points = kernel_points  # level -> [P, 3]
+        self._conv_w: Dict[int, jax.Array] = {}
+        self._pool_w: Dict[int, jax.Array] = {}
 
+    # raw pyramid accessors ---------------------------------------------------
     def points(self, l):
         return self.pyramid['points'][l]
 
@@ -116,36 +127,60 @@ class BlockCtx:
     def mask(self, l):
         return self.pyramid['masks'][l]
 
+    # shared geometry ---------------------------------------------------------
+    def _dtype(self):
+        return (jnp.bfloat16 if self.config.compute_dtype == 'bfloat16'
+                else jnp.float32)
 
-class KPConvLayer(nn.Module):
-    """One rigid KPConv with its own seeded kernel-point disposition."""
+    def extent(self, l: int) -> float:
+        """KP extent at level l: KP_extent * r_l / density_parameter with
+        r_l = dl0 * density * 2^l (`network_blocks.py:92`) = dl0*KP_extent*2^l."""
+        cfg = self.config
+        return cfg.KP_extent * cfg.first_subsampling_dl * 2 ** l
+
+    def conv_weights(self, l: int) -> jax.Array:
+        if l not in self._conv_w:
+            cfg = self.config
+            self._conv_w[l] = influence_weights(
+                self.points(l), self.points(l), self.neighbors(l),
+                self.kernel_points(l), self.extent(l),
+                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+        return self._conv_w[l]
+
+    def pool_weights(self, l: int) -> jax.Array:
+        if l not in self._pool_w:
+            cfg = self.config
+            self._pool_w[l] = influence_weights(
+                self.points(l + 1), self.points(l), self.pools(l),
+                self.kernel_points(l), self.extent(l),
+                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+        return self._pool_w[l]
+
+
+class KPConvOp(nn.Module):
+    """One rigid KPConv over shared level geometry (fast path)."""
     config: Config
     in_dim: int
     out_dim: int
-    radius: float          # layer radius r = dl * density_parameter * 2^l
-    kp_seed: int
+    layer: int
+    strided: bool = False
+    ones_input: bool = False
 
     @nn.compact
-    def __call__(self, q_pts, s_pts, neighbor_inds, features):
+    def __call__(self, ctx: BlockCtx, features: Optional[jax.Array]):
         cfg = self.config
-        # extent = KP_extent * r / density_parameter (`network_blocks.py:92`)
-        extent = cfg.KP_extent * self.radius / cfg.density_parameter
-        k_radius = 1.5 * extent  # `convolution_ops.py:128`
-
-        def init_kpoints():
-            return jnp.asarray(load_kernel_points(
-                k_radius, cfg.num_kernel_points,
-                fixed=cfg.fixed_kernel_points, seed=self.kp_seed))
-
-        kpoints = self.variable('kpoints', 'kernel_points', init_kpoints)
+        l = self.layer
         w = self.param(
             'weights',
             trunc_normal_rounded(float(np.sqrt(2.0 / self.out_dim))),
             (cfg.num_kernel_points, self.in_dim, self.out_dim))
-        return kpconv(q_pts, s_pts, neighbor_inds, features,
-                      kpoints.value, w, extent,
-                      kp_influence=cfg.KP_influence,
-                      aggregation_mode=cfg.convolution_mode)
+        inds = ctx.pools(l) if self.strided else ctx.neighbors(l)
+        geom = ctx.pool_weights(l) if self.strided else ctx.conv_weights(l)
+        if self.ones_input:
+            n_s = ctx.points(l).shape[0]
+            return kpconv_ones(inds, geom, w, n_s)
+        table = lane_pad_table(features, ctx._dtype())
+        return kpconv_apply(inds, geom, table, w, self.in_dim)
 
 
 class Unary(nn.Module):
@@ -183,24 +218,21 @@ class LastUnary(nn.Module):
 
 class SimpleBlock(nn.Module):
     """KPConv + BN + leaky relu (`network_blocks.py:222-245`); the strided
-    variant convolves onto the next level's points via pool indices
-    (`network_blocks.py:247-269`)."""
+    variant convolves onto the next level via pool indices (`:247-269`)."""
     config: Config
     fdim: int
     layer: int
-    radius: float
-    kp_seed: int
     strided: bool = False
+    ones_input: bool = False
 
     @nn.compact
     def __call__(self, ctx: BlockCtx, x, training):
         l = self.layer
-        if self.strided:
-            q, inds, out_mask = ctx.points(l + 1), ctx.pools(l), ctx.mask(l + 1)
-        else:
-            q, inds, out_mask = ctx.points(l), ctx.neighbors(l), ctx.mask(l)
-        y = KPConvLayer(self.config, x.shape[-1], self.fdim, self.radius,
-                        self.kp_seed)(q, ctx.points(l), inds, x)
+        out_mask = ctx.mask(l + 1) if self.strided else ctx.mask(l)
+        in_dim = 1 if self.ones_input else x.shape[-1]
+        y = KPConvOp(self.config, in_dim, self.fdim, l,
+                     strided=self.strided, ones_input=self.ones_input)(
+            ctx, x)
         y = MaskedBatchNorm(self.config.batch_norm_momentum)(
             y, out_mask, training)
         return leaky_relu(y)
@@ -213,8 +245,6 @@ class ResnetBottleneck(nn.Module):
     config: Config
     fdim: int
     layer: int
-    radius: float
-    kp_seed: int
     strided: bool = False
 
     @nn.compact
@@ -224,14 +254,8 @@ class ResnetBottleneck(nn.Module):
         out_mask = ctx.mask(l + 1) if self.strided else in_mask
 
         y = Unary(cfg, fdim // 2, name='conv1')(x, in_mask, training)
-
-        if self.strided:
-            q, inds = ctx.points(l + 1), ctx.pools(l)
-        else:
-            q, inds = ctx.points(l), ctx.neighbors(l)
-        y = KPConvLayer(cfg, fdim // 2, fdim // 2, self.radius,
-                        self.kp_seed, name='conv2')(
-            q, ctx.points(l), inds, y)
+        y = KPConvOp(cfg, fdim // 2, fdim // 2, l, strided=self.strided,
+                     name='conv2')(ctx, y)
         y = MaskedBatchNorm(cfg.batch_norm_momentum, name='conv2_bn')(
             y, out_mask, training)
         y = leaky_relu(y)
@@ -259,8 +283,6 @@ class ResnetBlock(nn.Module):
     config: Config
     fdim: int
     layer: int
-    radius: float
-    kp_seed: int
 
     @nn.compact
     def __call__(self, ctx: BlockCtx, x, training):
@@ -268,9 +290,8 @@ class ResnetBlock(nn.Module):
         mask = ctx.mask(l)
         y = x
         for i in range(2):
-            y = KPConvLayer(cfg, y.shape[-1], self.fdim, self.radius,
-                            self.kp_seed + i, name=f'conv{i + 1}')(
-                ctx.points(l), ctx.points(l), ctx.neighbors(l), y)
+            y = KPConvOp(cfg, y.shape[-1], self.fdim, l,
+                         name=f'conv{i + 1}')(ctx, y)
             y = MaskedBatchNorm(cfg.batch_norm_momentum,
                                 name=f'bn{i + 1}')(y, mask, training)
             y = leaky_relu(y)
@@ -298,7 +319,7 @@ def max_pool(ctx: BlockCtx, x, layer: int):
 
 
 def global_average(ctx: BlockCtx, x, layer: int, cloud_inds=None):
-    """Masked global average over each cloud's valid rows
+    """Masked global average over valid rows
     (`network_blocks.py` global_average_block)."""
     mask = ctx.mask(layer).astype(x.dtype)[:, None]
     return jnp.sum(x * mask, axis=0) / jnp.maximum(jnp.sum(mask), 1.0)

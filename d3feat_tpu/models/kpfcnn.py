@@ -5,6 +5,10 @@ the input unpacking of `models/KPFCNN_model.py:86-121`, generalized from
 the reference's hard-wired 2-cloud (anchor+positive) stacking to B clouds
 via `cloud_inds` segment ops, and made shape-static (pad rows masked).
 
+TPU-first structure (see `d3feat_tpu.models.blocks` for rationale):
+per-level kernel dispositions + shared influence weights, lane-padded
+bf16 gather tables, ones-input shortcut for the first conv.
+
 Forward contract (reference `assemble_FCNN_blocks`, `models/D3Feat.py:5-115`):
   returns (descriptors [N0, 32] L2-normalized, scores [N0, 1]).
 
@@ -30,6 +34,7 @@ from d3feat_tpu.config import Config
 from d3feat_tpu.models.blocks import (BlockCtx, LastUnary, ResnetBlock,
                                       ResnetBottleneck, SimpleBlock, Unary,
                                       max_pool, nearest_upsample)
+from d3feat_tpu.ops.kernel_points import load_kernel_points
 
 
 def init_kpfcnn(config: Config, pyramid: Dict, seed: int = 0):
@@ -52,22 +57,31 @@ class KPFCNN(nn.Module):
     def __call__(self, pyramid: Dict, training: bool = False
                  ) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        ctx = BlockCtx(pyramid, cfg)
         arch = cfg.architecture
 
+        # One seeded kernel disposition per level, checkpointed. K_radius =
+        # 1.5 * extent_l (convolution_ops.py:128) with extent_l =
+        # KP_extent * dl0 * 2^l.
+        kp_vars = []
+        for l in range(cfg.num_layers):
+            k_radius = 1.5 * cfg.KP_extent * cfg.first_subsampling_dl * 2 ** l
+
+            def init_fn(l=l, k_radius=k_radius):
+                return jnp.asarray(load_kernel_points(
+                    k_radius, cfg.num_kernel_points,
+                    fixed=cfg.fixed_kernel_points,
+                    seed=cfg.kernel_seed + l))
+
+            kp_vars.append(
+                self.variable('kpoints', f'level{l}', init_fn))
+        ctx = BlockCtx(pyramid, cfg, lambda l: kp_vars[l].value)
+
         # ---------------- encoder (network_blocks.py:1052-1118) -----------
-        r = cfg.first_subsampling_dl * cfg.density_parameter
         layer = 0
         fdim = cfg.first_features_dim
         features = pyramid['features']
         skips = []
-        kp_seed = cfg.kernel_seed
         block_i = 0
-
-        def next_seed():
-            nonlocal kp_seed
-            kp_seed += 100
-            return kp_seed
 
         for block_i, block in enumerate(arch):
             if any(t in block for t in ('pool', 'strided', 'upsample',
@@ -76,12 +90,14 @@ class KPFCNN(nn.Module):
             if 'upsample' in block:
                 break
             name = f'layer{layer}_{block}_{block_i}'
+            # the network input is constant ones (ThreeDMatch.py:316);
+            # the first conv then needs no feature gather
+            ones_in = (block_i == 0 and cfg.in_features_dim == 1
+                       and cfg.ones_input_features)
             features = self._encoder_block(
-                block, ctx, features, layer, r, fdim, training, name,
-                next_seed())
+                block, ctx, features, layer, fdim, training, name, ones_in)
             if 'pool' in block or 'strided' in block:
                 layer += 1
-                r *= 2.0
                 fdim *= 2
         else:
             raise ValueError('architecture has no upsample block')
@@ -89,14 +105,12 @@ class KPFCNN(nn.Module):
         # ---------------- decoder (models/D3Feat.py:26-63) ----------------
         start_i = block_i
         layer = cfg.num_layers - 1
-        r = cfg.first_subsampling_dl * cfg.density_parameter * 2 ** layer
         fdim = cfg.first_features_dim * 2 ** layer
         for j, block in enumerate(arch[start_i:]):
             name = f'uplayer{layer}_{block}_{j}'
             if block == 'nearest_upsample':
                 features = nearest_upsample(ctx, features, layer)
                 layer -= 1
-                r *= 0.5
                 fdim //= 2
                 features = jnp.concatenate([features, skips[layer]], axis=1)
             elif block == 'unary':
@@ -112,29 +126,33 @@ class KPFCNN(nn.Module):
         sq = jnp.sum(jnp.square(features), axis=1, keepdims=True)
         descriptors = features * jax.lax.rsqrt(jnp.maximum(sq, 1e-10))
 
+        gather_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+                        else jnp.float32)
         scores = detection_scores(
             pyramid['neighbors'][0], pyramid['cloud_inds'],
             pyramid['masks'][0], features,
-            num_clouds=pyramid['lengths'][0].shape[0])
+            num_clouds=pyramid['lengths'][0].shape[0],
+            gather_dtype=gather_dtype)
         return descriptors, scores
 
-    def _encoder_block(self, block, ctx, features, layer, r, fdim,
-                       training, name, seed):
+    def _encoder_block(self, block, ctx, features, layer, fdim,
+                       training, name, ones_input=False):
         cfg = self.config
         if block == 'simple':
-            return SimpleBlock(cfg, fdim, layer, r, seed, name=name)(
-                ctx, features, training)
-        if block == 'simple_strided':
-            return SimpleBlock(cfg, fdim, layer, r, seed, strided=True,
+            return SimpleBlock(cfg, fdim, layer, ones_input=ones_input,
                                name=name)(ctx, features, training)
+        if block == 'simple_strided':
+            return SimpleBlock(cfg, fdim, layer, strided=True,
+                               ones_input=ones_input, name=name)(
+                ctx, features, training)
         if block == 'resnet':
-            return ResnetBlock(cfg, fdim, layer, r, seed, name=name)(
+            return ResnetBlock(cfg, fdim, layer, name=name)(
                 ctx, features, training)
         if block == 'resnetb' or block == 'resnetb_light':
-            return ResnetBottleneck(cfg, fdim, layer, r, seed, name=name)(
+            return ResnetBottleneck(cfg, fdim, layer, name=name)(
                 ctx, features, training)
         if block == 'resnetb_strided' or block == 'resnetb_light_strided':
-            return ResnetBottleneck(cfg, fdim, layer, r, seed, strided=True,
+            return ResnetBottleneck(cfg, fdim, layer, strided=True,
                                     name=name)(ctx, features, training)
         if block == 'unary':
             return Unary(cfg, fdim, name=name)(
@@ -150,7 +168,7 @@ class KPFCNN(nn.Module):
 
 def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      mask0: jax.Array, features: jax.Array,
-                     num_clouds: int) -> jax.Array:
+                     num_clouds: int, gather_dtype=jnp.float32) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -178,15 +196,18 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     f = features / (per_row_max[:, None] + 1e-6)
     f = jnp.where(mask0[:, None], f, 0.0)
 
-    # local saliency alpha (D3Feat.py:92-98); shadow row is zeros
-    f_ext = jnp.concatenate([f, jnp.zeros((1, d), f.dtype)], axis=0)
-    neigh_f = f_ext[neighbors0]                          # [N0, K, D]
+    # local saliency alpha (D3Feat.py:92-98); shadow row is zeros.
+    # Gather from a 128-lane zero-padded table (fast-path layout); the
+    # padded lanes are zero so channel sums over L equal sums over D.
+    from d3feat_tpu.ops.kpconv import lane_pad_table
+    table = lane_pad_table(f, gather_dtype)
+    neigh_f = table[neighbors0].astype(jnp.float32)      # [N0, K, L]
     neigh_sum = jnp.sum(neigh_f, axis=-1)                # [N0, K]
     # reference uses count_nonzero here (not >0 as in the conv op)
     neigh_num = jnp.sum((neigh_sum != 0.0).astype(f.dtype), axis=-1,
                         keepdims=True)
     neigh_num = jnp.maximum(neigh_num, 1.0)
-    mean_f = jnp.sum(neigh_f, axis=1) / neigh_num
+    mean_f = jnp.sum(neigh_f, axis=1)[:, :d] / neigh_num
     alpha = jax.nn.softplus(f - mean_f)
 
     # channel-max ratio beta (D3Feat.py:100-102)

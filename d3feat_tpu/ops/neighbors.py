@@ -51,6 +51,12 @@ def radius_neighbors(
         return np.zeros((0, max_neighbors), dtype=np.int32)
     if n_s == 0:
         return np.full((queries.shape[0], max_neighbors), 0, dtype=np.int32)
+
+    from d3feat_tpu import native
+    if native.available():
+        return native.radius_knn_native(queries, supports, radius,
+                                        max_neighbors)
+
     tree = cKDTree(supports)
     # query(k) sorts ascending and marks misses with index == n_s.
     _, idx = tree.query(

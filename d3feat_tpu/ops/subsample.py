@@ -58,6 +58,11 @@ def grid_subsample(
             out.append(labels[:0])
         return tuple(out) if len(out) > 1 else out[0]
 
+    if features is None and labels is None:
+        from d3feat_tpu import native
+        if native.available():
+            return native.grid_subsample_native(points, sample_dl)
+
     keys = _voxel_keys(points, sample_dl)
     # first-occurrence ordering: unique returns sorted keys; remap through
     # the index of each voxel's first point to get a stable deterministic order.

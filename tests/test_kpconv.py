@@ -104,6 +104,47 @@ def test_closest_pool(rng):
     np.testing.assert_allclose(got[2], f[1], rtol=1e-6)
 
 
+def test_fast_path_matches_oracle_f32(rng):
+    """influence_weights + kpconv_apply (fast path, f32) must equal the
+    reference-path kpconv exactly (same math, different structure)."""
+    import jax.numpy as jnp
+    from d3feat_tpu.ops.kpconv import (influence_weights, kpconv_apply,
+                                       lane_pad_table)
+    q, s, neigh, feats, kp, kw = _setup(rng)
+    want = np.asarray(kpconv(q, s, neigh, feats, kp, kw, 0.1))
+    w = influence_weights(q, s, neigh, kp, 0.1, out_dtype=jnp.float32)
+    table = lane_pad_table(feats, jnp.float32)
+    got = np.asarray(kpconv_apply(neigh, w, table, kw, feats.shape[1]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fast_path_bf16_close(rng):
+    import jax.numpy as jnp
+    from d3feat_tpu.ops.kpconv import (influence_weights, kpconv_apply,
+                                       lane_pad_table)
+    q, s, neigh, feats, kp, kw = _setup(rng)
+    want = np.asarray(kpconv(q, s, neigh, feats, kp, kw, 0.1))
+    w = influence_weights(q, s, neigh, kp, 0.1, out_dtype=jnp.bfloat16)
+    table = lane_pad_table(feats, jnp.bfloat16)
+    got = np.asarray(kpconv_apply(neigh, w, table, kw, feats.shape[1]))
+    # bf16 relative error ~1e-2
+    err = np.abs(got - want) / (np.abs(want) + 1e-2)
+    assert err.max() < 0.1, err.max()
+
+
+def test_kpconv_ones_matches_oracle(rng):
+    """Gather-free ones-input conv == reference kpconv on constant-1
+    features."""
+    import jax.numpy as jnp
+    from d3feat_tpu.ops.kpconv import influence_weights, kpconv_ones
+    q, s, neigh, _, kp, kw1 = _setup(rng, c_in=1)
+    ones = np.ones((s.shape[0], 1), np.float32)
+    want = np.asarray(kpconv(q, s, neigh, ones, kp, kw1, 0.1))
+    w = influence_weights(q, s, neigh, kp, 0.1, out_dtype=jnp.float32)
+    got = np.asarray(kpconv_ones(neigh, w, kw1, s.shape[0]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_kernel_points_disposition():
     kp = optimize_kernel_points(15, num_tries=8, max_iter=1500, seed=0)
     assert kp.shape == (15, 3)

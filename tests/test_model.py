@@ -19,6 +19,7 @@ def tiny_config(**kw):
         first_features_dim=8,
         out_features_dim=8,
         neighborhood_limits=(12, 12, 12, 12, 12),
+        compute_dtype='float32',
     )
     base.update(kw)
     return threedmatch_config(**base)
