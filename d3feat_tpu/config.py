@@ -96,6 +96,12 @@ class Config:
     level_capacity_ratio: float = 0.5
     # Explicit per-level capacities; overrides the ratio derivation if set.
     level_caps: Tuple[int, ...] = ()
+    # Per-level capacity ratios (len num_layers-1); overrides the scalar
+    # ratio when set — coarse levels shrink faster than the first.
+    level_capacity_ratios: Tuple[float, ...] = ()
+    # Ship int16 relative vectors from the host radius search so the device
+    # computes influence weights without a coordinate gather.
+    host_geometry: bool = True
     # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
     size_multiple: int = 1024
     # Compute dtype for gather tables / conv einsums ('float32' keeps exact
@@ -150,10 +156,15 @@ class Config:
             return self.level_caps
         caps = []
         n = self.max_points
-        for _ in range(self.num_layers):
+        for l in range(self.num_layers):
             m = self.size_multiple
             caps.append(int(-(-n // m) * m))
-            n = max(int(n * self.level_capacity_ratio), m)
+            if self.level_capacity_ratios:
+                r = self.level_capacity_ratios[
+                    min(l, len(self.level_capacity_ratios) - 1)]
+            else:
+                r = self.level_capacity_ratio
+            n = max(int(n * r), m)
         return tuple(caps)
 
     # ---- parameters.txt round-trip ------------------------------------------
@@ -213,6 +224,11 @@ def threedmatch_config(**overrides) -> Config:
         safe_radius=0.1,
         keypts_num=256,
         augment_noise=0.005,
+        # measured |l+1|/|l| on 3DMatch-style surface scans: ~0.17-0.27
+        # (2x voxel on a 2D manifold shrinks 4-6x); generous 0.5 wastes up
+        # to 26x compute at the coarse levels. Inference retries with the
+        # safe scalar ratio on overflow (runtime/tester.py).
+        level_capacity_ratios=(0.25, 0.30, 0.33, 0.35),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -28,7 +28,8 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from d3feat_tpu.config import Config
-from d3feat_tpu.ops.neighbors import batch_radius_neighbors
+from d3feat_tpu.ops.neighbors import (batch_radius_neighbors,
+                                      batch_radius_neighbors_rel)
 from d3feat_tpu.ops.subsample import batch_grid_subsample
 
 # A pyramid is a plain dict pytree (jit-friendly).
@@ -112,6 +113,13 @@ def build_pyramid(
     pts, lens = stacked_points, np.asarray(lengths, np.int32)
     out_points, out_neigh, out_pools, out_ups = [], [], [], []
     out_masks, out_lengths = [], []
+    out_rels, out_pool_rels = [], []
+    host_geom = config.host_geometry
+
+    def _pad_rel(rel: np.ndarray, n_rows_cap: int) -> np.ndarray:
+        out = np.full((n_rows_cap,) + rel.shape[1:], 32767, dtype=np.int16)
+        out[:rel.shape[0]] = rel
+        return out
 
     for l in range(num_layers):
         cap = caps[l]
@@ -120,7 +128,12 @@ def build_pyramid(
         if n_l > cap:
             raise ValueError(f'level {l}: {n_l} pts exceed capacity {cap}')
 
-        conv_i = batch_radius_neighbors(pts, pts, lens, lens, r, k_l)
+        if host_geom:
+            conv_i, conv_rel = batch_radius_neighbors_rel(
+                pts, pts, lens, lens, r, k_l)
+            out_rels.append(_pad_rel(conv_rel, cap))
+        else:
+            conv_i = batch_radius_neighbors(pts, pts, lens, lens, r, k_l)
 
         if plan[l]:
             next_dl = 2.0 * dl
@@ -130,7 +143,13 @@ def build_pyramid(
                 raise ValueError(
                     f'level {l + 1}: {pool_p.shape[0]} pts exceed capacity '
                     f'{cap_next}')
-            pool_i = batch_radius_neighbors(pool_p, pts, pool_b, lens, r, k_l)
+            if host_geom:
+                pool_i, pool_rel = batch_radius_neighbors_rel(
+                    pool_p, pts, pool_b, lens, r, k_l)
+                out_pool_rels.append(_pad_rel(pool_rel, cap_next))
+            else:
+                pool_i = batch_radius_neighbors(pool_p, pts, pool_b, lens,
+                                                r, k_l)
             up_i = batch_radius_neighbors(pts, pool_p, lens, pool_b,
                                           2.0 * r, 1)
             out_pools.append(
@@ -162,7 +181,7 @@ def build_pyramid(
     feats = np.zeros((caps[0], features.shape[1]), dtype=np.float32)
     feats[:n0] = features
 
-    return {
+    out = {
         'points': tuple(out_points),
         'neighbors': tuple(out_neigh),
         'pools': tuple(out_pools),
@@ -172,3 +191,7 @@ def build_pyramid(
         'features': feats,
         'cloud_inds': cloud_inds,
     }
+    if host_geom:
+        out['rels'] = tuple(out_rels)
+        out['pool_rels'] = tuple(out_pool_rels)
+    return out

@@ -39,7 +39,8 @@ import numpy as np
 from d3feat_tpu.config import Config
 from d3feat_tpu.ops.kernel_points import load_kernel_points
 from d3feat_tpu.ops.kpconv import (closest_pool, index_max_pool,
-                                   influence_weights, kpconv_apply,
+                                   influence_weights,
+                                   influence_weights_from_rel, kpconv_apply,
                                    kpconv_ones, lane_pad_table, unary_conv)
 
 
@@ -138,22 +139,42 @@ class BlockCtx:
         cfg = self.config
         return cfg.KP_extent * cfg.first_subsampling_dl * 2 ** l
 
+    def search_radius(self, l: int) -> float:
+        """Host neighbor-search radius at level l (the int16 rel scale):
+        r_l = dl0 * KP_extent * 2.5 * 2^l (`datasets/common.py:1312`)."""
+        cfg = self.config
+        return cfg.first_subsampling_dl * cfg.KP_extent * 2.5 * 2 ** l
+
     def conv_weights(self, l: int) -> jax.Array:
         if l not in self._conv_w:
             cfg = self.config
-            self._conv_w[l] = influence_weights(
-                self.points(l), self.points(l), self.neighbors(l),
-                self.kernel_points(l), self.extent(l),
-                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+            if 'rels' in self.pyramid:
+                self._conv_w[l] = influence_weights_from_rel(
+                    self.pyramid['rels'][l], self.neighbors(l),
+                    self.points(l).shape[0], self.search_radius(l),
+                    self.kernel_points(l), self.extent(l),
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
+            else:
+                self._conv_w[l] = influence_weights(
+                    self.points(l), self.points(l), self.neighbors(l),
+                    self.kernel_points(l), self.extent(l),
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
         return self._conv_w[l]
 
     def pool_weights(self, l: int) -> jax.Array:
         if l not in self._pool_w:
             cfg = self.config
-            self._pool_w[l] = influence_weights(
-                self.points(l + 1), self.points(l), self.pools(l),
-                self.kernel_points(l), self.extent(l),
-                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+            if 'pool_rels' in self.pyramid:
+                self._pool_w[l] = influence_weights_from_rel(
+                    self.pyramid['pool_rels'][l], self.pools(l),
+                    self.points(l).shape[0], self.search_radius(l),
+                    self.kernel_points(l), self.extent(l),
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
+            else:
+                self._pool_w[l] = influence_weights(
+                    self.points(l + 1), self.points(l), self.pools(l),
+                    self.kernel_points(l), self.extent(l),
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
         return self._pool_w[l]
 
 

@@ -58,6 +58,12 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.d3f_radius_knn_rel.restype = None
+        lib.d3f_radius_knn_rel.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.c_float, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int16)]
         _lib = lib
         return _lib
 
@@ -98,3 +104,22 @@ def radius_knn_native(queries: np.ndarray, supports: np.ndarray,
     lib.d3f_radius_knn(_fptr(q), q.shape[0], _fptr(s), s.shape[0],
                        ctypes.c_float(radius), k, _iptr(out))
     return out
+
+
+def radius_knn_rel_native(queries: np.ndarray, supports: np.ndarray,
+                          radius: float, k: int
+                          ) -> tuple[np.ndarray, np.ndarray]:
+    """(indices [Nq,k] int32, rel [Nq,k,3] int16 quantized by radius/32767)."""
+    lib = load()
+    assert lib is not None
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    s = np.ascontiguousarray(supports, dtype=np.float32)
+    out = np.empty((q.shape[0], k), dtype=np.int32)
+    rel = np.empty((q.shape[0], k, 3), dtype=np.int16)
+    if q.shape[0] == 0:
+        return out, rel
+    lib.d3f_radius_knn_rel(
+        _fptr(q), q.shape[0], _fptr(s), s.shape[0],
+        ctypes.c_float(radius), k, _iptr(out),
+        rel.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return out, rel

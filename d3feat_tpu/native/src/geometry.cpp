@@ -139,11 +139,20 @@ int d3f_grid_subsample(const float* points, int n, float dl,
 // Fixed-degree radius search: for each query, the k nearest supports
 // within `radius`, ascending by (distance, index); pad with n_s.
 // out_inds: [n_q * k] int32.
-void d3f_radius_knn(const float* queries, int n_q, const float* supports,
-                    int n_s, float radius, int k, int* out_inds) {
+// out_rel (optional, may be null): [n_q * k * 3] int16 — the relative
+// vectors (support - query) quantized by radius/32767. Shipping these to
+// the device removes the coordinate gather from the KPConv influence-
+// weight computation (the search already touched every neighbor).
+// Shadow slots get rel = (32767, 32767, 32767); consumers mask by index.
+void d3f_radius_knn_rel(const float* queries, int n_q, const float* supports,
+                        int n_s, float radius, int k, int* out_inds,
+                        int16_t* out_rel) {
   if (n_q <= 0) return;
   if (n_s <= 0 || k <= 0) {
     for (int i = 0; i < n_q * k; ++i) out_inds[i] = n_s;
+    if (out_rel)
+      for (int64_t i = 0; i < static_cast<int64_t>(n_q) * k * 3; ++i)
+        out_rel[i] = INT16_MAX;
     return;
   }
   // bucket supports on a `radius`-sized grid anchored at the support bbox
@@ -195,6 +204,25 @@ void d3f_radius_knn(const float* queries, int n_q, const float* supports,
       int* row = out_inds + static_cast<int64_t>(q) * k;
       for (int j = 0; j < take; ++j) row[j] = cand[j].second;
       for (int j = take; j < k; ++j) row[j] = n_s;
+      if (out_rel) {
+        int16_t* rrow = out_rel + static_cast<int64_t>(q) * k * 3;
+        const float scale = 32767.0f / radius;
+        auto q16 = [](float v) {
+          long r = std::lround(v);
+          return static_cast<int16_t>(std::max(-32767L, std::min(32767L, r)));
+        };
+        for (int j = 0; j < take; ++j) {
+          int32_t i = cand[j].second;
+          rrow[3 * j] = q16((supports[3 * i] - qx) * scale);
+          rrow[3 * j + 1] = q16((supports[3 * i + 1] - qy) * scale);
+          rrow[3 * j + 2] = q16((supports[3 * i + 2] - qz) * scale);
+        }
+        for (int j = take; j < k; ++j) {
+          rrow[3 * j] = INT16_MAX;
+          rrow[3 * j + 1] = INT16_MAX;
+          rrow[3 * j + 2] = INT16_MAX;
+        }
+      }
     }
   };
 
@@ -212,6 +240,12 @@ void d3f_radius_knn(const float* queries, int n_q, const float* supports,
     }
     for (auto& th : pool) th.join();
   }
+}
+
+void d3f_radius_knn(const float* queries, int n_q, const float* supports,
+                    int n_s, float radius, int k, int* out_inds) {
+  d3f_radius_knn_rel(queries, n_q, supports, n_s, radius, k, out_inds,
+                     nullptr);
 }
 
 }  // extern "C"

@@ -143,22 +143,27 @@ def influence_weights(
     aggregation_mode: str = 'sum',
     out_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Geometry-only influence weights [Nq, K, P], shared by every KPConv
+    """Geometry-only influence weights [Nq, P, K], shared by every KPConv
     using the same (level, index-matrix). Same math as steps 1-4 of
-    `kpconv` (`convolution_ops.py:189-232`)."""
+    `kpconv` (`convolution_ops.py:189-232`).
+
+    Layout note: the P axis comes *before* K. TPU tiles the two minor dims
+    to (sublane, 128-lane); with P=15 minor the array would inflate ~8.5x
+    in HBM (15 -> 128 lanes), with K=38 minor only ~3.4x.
+    """
     p = kernel_points.shape[0]
     supports_ext = jnp.concatenate(
         [support_points, jnp.full((1, support_points.shape[1]), 1e6,
                                   dtype=support_points.dtype)], axis=0)
     neigh_xyz = supports_ext[neighbor_inds]
     rel = neigh_xyz - query_points[:, None, :]
-    sq_rel = jnp.sum(rel * rel, axis=-1)
-    cross = jnp.einsum('nkd,pd->nkp', rel, kernel_points,
+    sq_rel = jnp.sum(rel * rel, axis=-1)                        # [Nq, K]
+    cross = jnp.einsum('nkd,pd->npk', rel, kernel_points,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
     sq_kp = jnp.sum(kernel_points * kernel_points, axis=-1)
     sq_dist = jnp.maximum(
-        sq_rel[:, :, None] - 2.0 * cross + sq_kp[None, None, :], 0.0)
+        sq_rel[:, None, :] - 2.0 * cross + sq_kp[None, :, None], 0.0)
 
     if kp_influence == 'constant':
         weights = jnp.ones_like(sq_dist)
@@ -172,11 +177,61 @@ def influence_weights(
         raise ValueError(f'unknown KP_influence: {kp_influence}')
 
     if aggregation_mode == 'closest':
-        nearest = jnp.argmin(sq_dist, axis=2)
-        weights = weights * jax.nn.one_hot(nearest, p, dtype=weights.dtype)
+        nearest = jnp.argmin(sq_dist, axis=1)                   # [Nq, K]
+        onehot = jax.nn.one_hot(nearest, p, axis=1, dtype=weights.dtype)
+        weights = weights * onehot
     elif aggregation_mode != 'sum':
         raise ValueError(f'unknown aggregation mode: {aggregation_mode}')
     return weights.astype(out_dtype)
+
+
+def influence_weights_from_rel(
+    rel_quant: jax.Array,        # [Nq, K, 3] int16, scale = radius/32767
+    neighbor_inds: jax.Array,    # [Nq, K] (shadow == n_supports)
+    n_supports: int,
+    radius: float,
+    kernel_points: jax.Array,    # [P, 3]
+    kp_extent: float,
+    kp_influence: str = 'linear',
+    aggregation_mode: str = 'sum',
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Influence weights [Nq, P, K] from host-shipped relative vectors —
+    no coordinate gather on device (the host radius search already
+    computed support - query for every slot). Shadow slots are masked
+    explicitly, reproducing the reference's zero influence for the
+    1e6 shadow point (`convolution_ops.py:189-224`).
+    """
+    p = kernel_points.shape[0]
+    rel = rel_quant.astype(jnp.float32) * (radius / 32767.0)
+    sq_rel = jnp.sum(rel * rel, axis=-1)                        # [Nq, K]
+    cross = jnp.einsum('nkd,pd->npk', rel, kernel_points,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq_kp = jnp.sum(kernel_points * kernel_points, axis=-1)
+    sq_dist = jnp.maximum(
+        sq_rel[:, None, :] - 2.0 * cross + sq_kp[None, :, None], 0.0)
+
+    if kp_influence == 'constant':
+        weights = jnp.ones_like(sq_dist)
+    elif kp_influence == 'linear':
+        weights = jnp.maximum(
+            1.0 - jnp.sqrt(sq_dist + 1e-10) / (2.0 * kp_extent), 0.0)
+    elif kp_influence == 'gaussian':
+        sigma = kp_extent * 0.3
+        weights = jnp.exp(-sq_dist / (2.0 * sigma * sigma + 1e-9))
+    else:
+        raise ValueError(f'unknown KP_influence: {kp_influence}')
+
+    if aggregation_mode == 'closest':
+        nearest = jnp.argmin(sq_dist, axis=1)
+        onehot = jax.nn.one_hot(nearest, p, axis=1, dtype=weights.dtype)
+        weights = weights * onehot
+    elif aggregation_mode != 'sum':
+        raise ValueError(f'unknown aggregation mode: {aggregation_mode}')
+
+    valid = (neighbor_inds < n_supports).astype(weights.dtype)
+    return (weights * valid[:, None, :]).astype(out_dtype)
 
 
 def lane_pad_table(features: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
@@ -191,7 +246,7 @@ def lane_pad_table(features: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
 
 def kpconv_apply(
     neighbor_inds: jax.Array,    # [Nq, K], shadow == Ns
-    weights: jax.Array,          # [Nq, K, P] from influence_weights
+    weights: jax.Array,          # [Nq, P, K] from influence_weights
     table: jax.Array,            # [Ns+1, L] from lane_pad_table
     kernel_weights: jax.Array,   # [P, C_in, C_out]
     in_dim: int = 0,             # unused; kept for call-site clarity
@@ -207,7 +262,7 @@ def kpconv_apply(
     l = table.shape[1]
     p, c_in, c_out = kernel_weights.shape
     nf = table[neighbor_inds]                                  # [Nq, K, L]
-    wf = jnp.einsum('nkp,nkl->npl', weights, nf,
+    wf = jnp.einsum('npk,nkl->npl', weights, nf,
                     preferred_element_type=jnp.float32)
     kw = jnp.zeros((p, l, c_out), dtype=weights.dtype)
     kw = kw.at[:, :c_in, :].set(kernel_weights.astype(weights.dtype))
@@ -223,7 +278,7 @@ def kpconv_apply(
 
 def kpconv_ones(
     neighbor_inds: jax.Array,    # [Nq, K]
-    weights: jax.Array,          # [Nq, K, P]
+    weights: jax.Array,          # [Nq, P, K]
     kernel_weights: jax.Array,   # [P, 1, C_out]
     n_supports: int,
 ) -> jax.Array:
@@ -231,7 +286,7 @@ def kpconv_ones(
     input, `datasets/ThreeDMatch.py:316`): the neighbor-feature gather
     reduces to the validity mask, eliminating the [N, K, C] gather."""
     valid = (neighbor_inds < n_supports).astype(weights.dtype)  # [Nq, K]
-    wsum = jnp.einsum('nkp,nk->np', weights, valid,
+    wsum = jnp.einsum('npk,nk->np', weights, valid,
                       preferred_element_type=jnp.float32)       # [Nq, P]
     out = jnp.dot(wsum, kernel_weights[:, 0, :],
                   preferred_element_type=jnp.float32)

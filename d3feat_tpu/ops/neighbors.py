@@ -105,6 +105,56 @@ def batch_radius_neighbors(
     return np.concatenate(rows, axis=0)
 
 
+def batch_radius_neighbors_rel(
+    queries: np.ndarray,
+    supports: np.ndarray,
+    q_lengths: Sequence[int],
+    s_lengths: Sequence[int],
+    radius: float,
+    max_neighbors: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Like :func:`batch_radius_neighbors` but also returns the relative
+    vectors (support - query) per slot, quantized to int16 by
+    radius/32767 (shadow slots = 32767). These let the device compute
+    KPConv influence weights without re-gathering coordinates — the host
+    search already touched every neighbor."""
+    n_s_total = int(np.sum(s_lengths))
+    from d3feat_tpu import native
+    use_native = native.available()
+
+    idx_rows, rel_rows = [], []
+    q_start = 0
+    s_start = 0
+    scale = 32767.0 / radius
+    for nq, ns in zip(q_lengths, s_lengths):
+        q = queries[q_start:q_start + nq]
+        s = supports[s_start:s_start + ns]
+        if use_native and nq and ns:
+            idx, rel = native.radius_knn_rel_native(q, s, radius,
+                                                    max_neighbors)
+        else:
+            idx = radius_neighbors(q, s, radius, max_neighbors)
+            rel = np.full((nq, max_neighbors, 3), 32767, dtype=np.int16)
+            valid = idx < ns
+            if ns and valid.any():
+                diff = (s[idx.clip(0, ns - 1)]
+                        - q[:, None, :]) * scale
+                diff = np.clip(np.rint(diff), -32767, 32767)
+                rel = np.where(valid[:, :, None],
+                               diff.astype(np.int16), rel)
+        shadow = idx >= ns
+        gidx = idx.astype(np.int64) + s_start
+        gidx[shadow] = n_s_total
+        idx_rows.append(gidx.astype(np.int32))
+        rel_rows.append(rel)
+        q_start += nq
+        s_start += ns
+    if not idx_rows:
+        return (np.zeros((0, max_neighbors), np.int32),
+                np.zeros((0, max_neighbors, 3), np.int16))
+    return np.concatenate(idx_rows, 0), np.concatenate(rel_rows, 0)
+
+
 def neighbor_histogram_limit(
     clouds: Sequence[np.ndarray],
     radius: float,

@@ -1,0 +1,131 @@
+"""Inference runtime: dense descriptor extraction + reference-layout dumps.
+
+Replaces the reference `ModelTester` (`utils/tester.py:135-360`):
+  * `DescriptorExtractor` — jitted forward over *bucketed* static shapes
+    (one XLA program per size bucket; buckets are powers of two so a whole
+    test set compiles a handful of programs);
+  * `generate_descriptors` — writes the exact output layout of
+    `utils/tester.py:177-233` so the reference's offline evaluation
+    (`geometric_registration/`, `repeatability/`, MATLAB recall) runs
+    unchanged: per fragment, all points sorted by detection score
+    ascending, saved as
+      {out_root}/D3Feat_{experiment}/descriptors/{scene}/cloud_bin_N.D3Feat.npy
+      {out_root}/D3Feat_{experiment}/keypoints/{scene}/cloud_bin_N.npy
+      {out_root}/D3Feat_{experiment}/scores/{scene}/cloud_bin_N.npy
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.data.batching import make_test_batch
+from d3feat_tpu.models.kpfcnn import KPFCNN
+
+
+def _bucket(n: int, multiple: int) -> int:
+    """Smallest multiple*2^k capacity >= n: a whole test set compiles only
+    a handful of XLA programs."""
+    cap = multiple
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class DescriptorExtractor:
+    """Dense per-point descriptors + detection scores for single fragments."""
+
+    def __init__(self, config: Config, variables: Dict,
+                 timer: Optional[list] = None):
+        self.config = config
+        self.variables = variables
+        self._fns: Dict[int, callable] = {}
+        self.timer = timer if timer is not None else []
+
+    def _forward_for(self, cap: int):
+        if cap not in self._fns:
+            cfg = self.config.replace(max_points=cap)
+            model = KPFCNN(cfg)
+
+            @jax.jit
+            def fwd(variables, pyramid):
+                return model.apply(variables, pyramid, training=False)
+
+            self._fns[cap] = (cfg, fwd)
+        return self._fns[cap]
+
+    def _forward_for_safe(self, cap: int):
+        key = -cap  # separate cache slot for the wide-bucket program
+        if key not in self._fns:
+            cfg = self.config.replace(max_points=cap,
+                                      level_capacity_ratios=(),
+                                      level_capacity_ratio=0.5)
+            model = KPFCNN(cfg)
+
+            @jax.jit
+            def fwd(variables, pyramid):
+                return model.apply(variables, pyramid, training=False)
+
+            self._fns[key] = (cfg, fwd)
+        return self._fns[key]
+
+    def extract(self, points: np.ndarray
+                ) -> Tuple[np.ndarray, np.ndarray]:
+        """points [N,3] -> (descriptors [N,32], scores [N])."""
+        n = len(points)
+        cap = _bucket(n, self.config.size_multiple)
+        cfg, fwd = self._forward_for(cap)
+        try:
+            batch = make_test_batch(points, cfg)
+        except ValueError:
+            # coarse level overflowed the tight capacity ratios (unusual
+            # geometry); retry in a safe wide-bucket program
+            cfg, fwd = self._forward_for_safe(cap)
+            batch = make_test_batch(points, cfg)
+        t0 = time.perf_counter()
+        desc, score = fwd(self.variables, batch['pyramid'])
+        desc = np.asarray(jax.device_get(desc))[:n]
+        score = np.asarray(jax.device_get(score))[:n, 0]
+        self.timer.append(time.perf_counter() - t0)
+        return desc, score
+
+
+def generate_descriptors(
+    extractor: DescriptorExtractor,
+    fragments: Iterable[Tuple[str, int, np.ndarray]],
+    out_root: str,
+    experiment: str,
+) -> str:
+    """Run dense extraction over (scene, frag_id, points) fragments and dump
+    the reference layout. Returns the experiment directory."""
+    base = os.path.join(out_root, f'D3Feat_{experiment}')
+    dirs = {k: os.path.join(base, k)
+            for k in ('descriptors', 'keypoints', 'scores')}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    for scene, frag_id, points in fragments:
+        desc, score = extractor.extract(points)
+        # all points, sorted by score ascending (utils/tester.py:208-212) —
+        # consumers take the LAST k entries as the top-k keypoints
+        order = np.argsort(score)
+        for k in dirs.values():
+            os.makedirs(os.path.join(k, scene), exist_ok=True)
+        np.save(os.path.join(dirs['descriptors'], scene,
+                             f'cloud_bin_{frag_id}.D3Feat.npy'),
+                desc[order].astype(np.float32))
+        np.save(os.path.join(dirs['keypoints'], scene,
+                             f'cloud_bin_{frag_id}.npy'),
+                points[order].astype(np.float32))
+        np.save(os.path.join(dirs['scores'], scene,
+                             f'cloud_bin_{frag_id}.npy'),
+                score[order].astype(np.float32))
+    if extractor.timer:
+        print(f'Average feature extraction time: '
+              f'{np.mean(extractor.timer):.3f} s')
+    return base

@@ -145,6 +145,38 @@ def test_kpconv_ones_matches_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_influence_weights_from_rel_matches_gather(rng):
+    """Host-shipped int16 rel vectors must reproduce the gather-based
+    influence weights within quantization tolerance, including shadow
+    masking."""
+    import jax.numpy as jnp
+    from d3feat_tpu.ops.kpconv import (influence_weights,
+                                       influence_weights_from_rel)
+    q, s, neigh, _, kp, _ = _setup(rng)
+    n_s = s.shape[0]
+    # the pipeline guarantees |rel| <= search radius; the synthetic random
+    # neighbors here span the unit cube, so use a covering radius
+    radius = 2.0
+    want = np.asarray(influence_weights(q, s, neigh, kp, 0.1,
+                                        out_dtype=jnp.float32))
+    # quantize rel on host like the pipeline does
+    s_ext = np.concatenate([s, np.zeros((1, 3), np.float32)])
+    rel = s_ext[neigh] - q[:, None, :]
+    relq = np.clip(np.rint(rel * 32767.0 / radius), -32767, 32767
+                   ).astype(np.int16)
+    relq[neigh == n_s] = 32767
+    got = np.asarray(influence_weights_from_rel(
+        jnp.asarray(relq), jnp.asarray(neigh), n_s, radius,
+        jnp.asarray(kp), 0.1, out_dtype=jnp.float32))
+    # shadow entries exactly zero
+    assert np.all(got[np.transpose(
+        np.broadcast_to((neigh == n_s)[:, None, :], got.shape), (0, 1, 2))]
+        == 0.0)
+    # valid entries within quantization tolerance
+    valid = np.broadcast_to((neigh < n_s)[:, None, :], got.shape)
+    np.testing.assert_allclose(got[valid], want[valid], atol=5e-4)
+
+
 def test_kernel_points_disposition():
     kp = optimize_kernel_points(15, num_tries=8, max_iter=1500, seed=0)
     assert kp.shape == (15, 3)

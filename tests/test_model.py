@@ -15,7 +15,7 @@ def tiny_config(**kw):
     base = dict(
         max_points=2048,
         size_multiple=64,
-        level_capacity_ratio=1.0,
+        level_capacity_ratio=1.0, level_capacity_ratios=(),
         first_features_dim=8,
         out_features_dim=8,
         neighborhood_limits=(12, 12, 12, 12, 12),
@@ -153,7 +153,7 @@ def test_detection_scores_oracle(rng):
 def test_param_count_flagship():
     """Flagship config has the reference's ~14M params (SURVEY.md §2.9)."""
     cfg = threedmatch_config(max_points=2048, size_multiple=64,
-                             level_capacity_ratio=1.0)
+                             level_capacity_ratio=1.0, level_capacity_ratios=())
     pyr = two_cloud_pyramid(np.random.default_rng(0), cfg, 300, 250)
     model = KPFCNN(cfg)
     variables = model.init(jax.random.PRNGKey(0), pyr, training=False)

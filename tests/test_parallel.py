@@ -13,7 +13,7 @@ from d3feat_tpu.train.trainer import create_train_state, make_train_step
 
 def tiny_cfg():
     return threedmatch_config(
-        max_points=512, size_multiple=64, level_capacity_ratio=1.0,
+        max_points=512, size_multiple=64, level_capacity_ratio=1.0, level_capacity_ratios=(),
         first_features_dim=8, out_features_dim=8,
         neighborhood_limits=(8, 8, 8, 8, 8), keypts_num=16)
 

@@ -23,7 +23,7 @@ def tiny_cfg(**kw):
     base = dict(
         max_points=1024,
         size_multiple=64,
-        level_capacity_ratio=1.0,
+        level_capacity_ratio=1.0, level_capacity_ratios=(),
         first_features_dim=8,
         out_features_dim=8,
         neighborhood_limits=(10, 10, 10, 10, 10),
