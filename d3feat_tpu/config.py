@@ -197,6 +197,7 @@ class Config:
                 if name not in types:
                     continue
                 default = getattr(defaults, name)
+                anno = str(types[name].type)
                 if isinstance(default, bool):
                     kw[name] = raw in ('True', 'true', '1')
                 elif isinstance(default, int):
@@ -205,8 +206,11 @@ class Config:
                     kw[name] = float(raw)
                 elif isinstance(default, tuple):
                     items = raw.split()
-                    if default and isinstance(default[0], int):
+                    # element type from the annotation (defaults may be ())
+                    if 'int' in anno:
                         kw[name] = tuple(int(x) for x in items)
+                    elif 'float' in anno:
+                        kw[name] = tuple(float(x) for x in items)
                     else:
                         kw[name] = tuple(items)
                 else:

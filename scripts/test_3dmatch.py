@@ -1,0 +1,103 @@
+"""Dense descriptor extraction over the 3DMatch test scenes + FMR.
+
+Reference entry point: `test_3dmatch.py` followed by
+`geometric_registration/evaluate.py`. This script runs both stages:
+  1. dump descriptors/keypoints/scores in the reference layout (so the
+     original offline harness, incl. the MATLAB recall, also works);
+  2. compute FMR / inlier ratio against the committed gt.log files.
+
+Usage:
+  python scripts/test_3dmatch.py --data data/3DMatch --snapshot results/Log_X
+                                 [--gt /root/reference/geometric_registration/gt_result]
+                                 [--num-keypts 250] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--data', default='data/3DMatch')
+    ap.add_argument('--snapshot', required=False, default=None)
+    ap.add_argument('--gt', default=None, help='dir with {scene}/gt.log')
+    ap.add_argument('--out', default='geometric_registration')
+    ap.add_argument('--experiment', default='tpu')
+    ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from d3feat_tpu.config import Config, threedmatch_config
+    from d3feat_tpu.data.threedmatch import TEST_SCENES, ThreeDMatchDataset
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.runtime import DescriptorExtractor, generate_descriptors
+    from d3feat_tpu.train.trainer import create_train_state
+    from d3feat_tpu.data.batching import make_test_batch
+
+    if args.snapshot:
+        cfg = Config.load(os.path.join(args.snapshot, 'parameters.txt'))
+    else:
+        cfg = threedmatch_config()
+
+    dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl,
+                                 load_test=True)
+    example = make_test_batch(dataset.test_points[0], cfg.replace(
+        max_points=-(-len(dataset.test_points[0]) // cfg.size_multiple)
+        * cfg.size_multiple))
+    model, variables = init_kpfcnn(cfg.replace(
+        max_points=example['pyramid']['features'].shape[0]),
+        example['pyramid'])
+    if args.snapshot:
+        from d3feat_tpu.utils.checkpoint import (latest_snapshot,
+                                                 restore_checkpoint)
+        state = restore_checkpoint(latest_snapshot(args.snapshot),
+                                   create_train_state(cfg, variables))
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'kpoints': state.kpoints}
+
+    extractor = DescriptorExtractor(cfg, variables)
+    out_dir = generate_descriptors(extractor, dataset.test_fragments(),
+                                   args.out, args.experiment)
+    print(f'dumped descriptors under {out_dir}')
+
+    if args.gt:
+        from d3feat_tpu.eval.benchmark_logs import load_log
+        from d3feat_tpu.eval.fmr import evaluate_scene_pairs
+        scene_stats = {}
+        for scene in TEST_SCENES:
+            gt = load_log(os.path.join(args.gt, scene, 'gt.log'))
+            frags = {}
+            desc_dir = os.path.join(out_dir, 'descriptors', scene)
+            for f in os.listdir(desc_dir):
+                num = int(f.split('_')[-1].split('.')[0])
+                frags[num] = {
+                    'descriptors': np.load(os.path.join(desc_dir, f)),
+                    'keypts': np.load(os.path.join(
+                        out_dir, 'keypoints', scene, f'cloud_bin_{num}.npy')),
+                    'scores': np.load(os.path.join(
+                        out_dir, 'scores', scene, f'cloud_bin_{num}.npy')),
+                }
+            pairs = [(int(k.split('_')[0]), int(k.split('_')[1]), t)
+                     for k, t in gt.items()]
+            stats = evaluate_scene_pairs(frags, pairs,
+                                         num_keypts=args.num_keypts)
+            scene_stats[scene] = stats
+            print(f'{scene}: recall={stats["recall"]:.4f} '
+                  f'inlier_ratio={stats["inlier_ratio"]:.4f} '
+                  f'({int(stats["num_pairs"])} pairs)')
+        avg = np.mean([s['recall'] for s in scene_stats.values()])
+        print(f'average FMR over {len(scene_stats)} scenes: {avg:.4f}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,70 @@
+"""ETH zero-shot generalization test (reference entry: test_eth.py).
+
+A 3DMatch-trained model is applied to outdoor laser scans with rescaled
+geometry: first_subsampling_dl=0.05, KP_extent=2.0 (`test_eth.py:37-39`),
+i.e. the kernel geometry is stretched to the coarser voxel while the
+trained weights are reused. Dumps the reference output layout; FMR is
+computed by `geometric_registration_eth/evaluate_eth.py` or our
+`d3feat_tpu.eval.fmr` with ETH ground truth.
+
+Usage:
+  python scripts/test_eth.py --data data/ETH --snapshot results/Log_X [--cpu]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--data', default='data/ETH')
+    ap.add_argument('--snapshot', default=None)
+    ap.add_argument('--out', default='geometric_registration_eth')
+    ap.add_argument('--experiment', default='tpu-eth')
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from d3feat_tpu.config import Config, eth_test_config
+    from d3feat_tpu.data.eth import ETHDataset
+    from d3feat_tpu.data.batching import make_test_batch
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.runtime import DescriptorExtractor, generate_descriptors
+    from d3feat_tpu.train.trainer import create_train_state
+
+    cfg = eth_test_config()
+    if args.snapshot:
+        trained = Config.load(os.path.join(args.snapshot, 'parameters.txt'))
+        cfg = trained.replace(dataset='ETH', first_subsampling_dl=0.05,
+                              KP_extent=2.0)
+
+    dataset = ETHDataset(args.data, 0.0625)
+    example = make_test_batch(dataset.test_points[0], cfg.replace(
+        max_points=-(-len(dataset.test_points[0]) // cfg.size_multiple)
+        * cfg.size_multiple))
+    model, variables = init_kpfcnn(cfg.replace(
+        max_points=example['pyramid']['features'].shape[0]),
+        example['pyramid'])
+    if args.snapshot:
+        from d3feat_tpu.utils.checkpoint import (latest_snapshot,
+                                                 restore_checkpoint)
+        state = restore_checkpoint(latest_snapshot(args.snapshot),
+                                   create_train_state(cfg, variables))
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'kpoints': state.kpoints}
+
+    extractor = DescriptorExtractor(cfg, variables)
+    out_dir = generate_descriptors(extractor, dataset.test_fragments(),
+                                   args.out, args.experiment)
+    print(f'dumped ETH descriptors under {out_dir}')
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,65 @@
+"""Train D3Feat on 3DMatch (reference entry point: training_3DMatch.py).
+
+Usage:
+  python scripts/train_3dmatch.py --data data/3DMatch [--save-dir results/...]
+                                  [--epochs N] [--steps N] [--cpu]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--data', default='data/3DMatch')
+    ap.add_argument('--save-dir', default=None)
+    ap.add_argument('--epochs', type=int, default=None)
+    ap.add_argument('--steps', type=int, default=None)
+    ap.add_argument('--restore', default=None,
+                    help='snapshot dir to resume from')
+    ap.add_argument('--cpu', action='store_true')
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+
+    from d3feat_tpu.config import threedmatch_config
+    from d3feat_tpu.data.threedmatch import ThreeDMatchDataset
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.train.trainer import Trainer, create_train_state
+
+    cfg = threedmatch_config()
+    if args.steps:
+        cfg = cfg.replace(epoch_steps=args.steps)
+    save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
+
+    dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)
+    rng = np.random.default_rng(42)
+    train_it = dataset.train_batches(cfg, rng, 'train')
+    val_rng = np.random.default_rng(7)
+
+    first = next(train_it)
+    model, variables = init_kpfcnn(cfg, first['pyramid'])
+    state = create_train_state(cfg, variables)
+    if args.restore:
+        from d3feat_tpu.utils.checkpoint import (latest_snapshot,
+                                                 restore_checkpoint)
+        state = restore_checkpoint(latest_snapshot(args.restore), state)
+
+    trainer = Trainer(cfg, save_dir)
+    trainer.train(
+        state,
+        train_batches=lambda: dataset.train_batches(cfg, rng, 'train'),
+        val_batches=lambda: dataset.train_batches(cfg, val_rng, 'val'),
+        num_epochs=args.epochs)
+
+
+if __name__ == '__main__':
+    main()

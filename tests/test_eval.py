@@ -1,0 +1,134 @@
+"""Tests for the evaluation stack: registration, FMR, repeatability, logs."""
+
+import numpy as np
+
+from d3feat_tpu.eval.benchmark_logs import load_log, write_log
+from d3feat_tpu.eval.fmr import (build_correspondence, evaluate_scene_pairs,
+                                 inlier_ratio_for_pair, select_top_keypoints)
+from d3feat_tpu.eval.registration import (apply_transform, match_features,
+                                          ransac_registration,
+                                          rigid_transform_3d, transform_error)
+from d3feat_tpu.eval.repeatability import keypoint_repeatability
+from d3feat_tpu.utils.icp import icp_point_to_point
+
+
+def random_transform(rng, angle=0.5, shift=1.0):
+    axis = rng.standard_normal(3)
+    axis /= np.linalg.norm(axis)
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    r = (np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k))
+    t = np.eye(4)
+    t[:3, :3] = r
+    t[:3, 3] = rng.standard_normal(3) * shift
+    return t
+
+
+def test_rigid_transform_exact(rng):
+    src = rng.random((50, 3)).astype(np.float64)
+    t_gt = random_transform(rng)
+    dst = apply_transform(src, t_gt)
+    t = rigid_transform_3d(src, dst)
+    np.testing.assert_allclose(t, t_gt, atol=1e-8)
+
+
+def test_transform_error_identity(rng):
+    t = random_transform(rng)
+    rte, rre = transform_error(t, t)
+    assert rte < 1e-9 and rre < 1e-4
+
+
+def test_ransac_recovers_transform(rng):
+    n = 200
+    src = (rng.random((n, 3)) * 3).astype(np.float32)
+    t_gt = random_transform(rng)
+    dst = apply_transform(src, t_gt).astype(np.float32)
+    # descriptors: identical for true matches + noise, 30% outliers
+    desc_src = rng.standard_normal((n, 16)).astype(np.float32)
+    desc_dst = desc_src + 0.01 * rng.standard_normal((n, 16)).astype(np.float32)
+    outliers = rng.random(n) < 0.3
+    desc_dst[outliers] = rng.standard_normal((outliers.sum(), 16))
+    t_est, inliers, fitness = ransac_registration(
+        src, dst, desc_src, desc_dst, distance_threshold=0.05,
+        max_iters=2000, seed=1)
+    rte, rre = transform_error(t_est, t_gt)
+    assert rte < 0.05 and rre < 1.0, (rte, rre)
+    assert fitness > 0.5
+
+
+def test_match_features_mutual(rng):
+    a = rng.standard_normal((20, 8)).astype(np.float32)
+    b = a[::-1].copy()  # exact reversed match
+    m = match_features(a, b, mutual=True)
+    assert len(m) == 20
+    np.testing.assert_array_equal(m[:, 1], 19 - m[:, 0])
+
+
+def test_build_correspondence_unit_desc(rng):
+    a = rng.standard_normal((30, 8)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=1, keepdims=True)
+    perm = rng.permutation(30)
+    b = a[perm]
+    corr = build_correspondence(a, b)
+    assert len(corr) == 30
+    np.testing.assert_array_equal(perm[corr[:, 1]], corr[:, 0])
+
+
+def test_inlier_ratio_and_fmr(rng):
+    n = 100
+    kp_a = (rng.random((n, 3)) * 2).astype(np.float32)
+    t_gt = random_transform(rng)
+    kp_b = apply_transform(kp_a, t_gt).astype(np.float32)
+    desc = rng.standard_normal((n, 16)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+    ratio, n_corr = inlier_ratio_for_pair(kp_a, kp_b, desc, desc, t_gt)
+    assert ratio == 1.0 and n_corr == n
+
+    frags = {0: {'keypts': kp_a, 'descriptors': desc,
+                 'scores': rng.random(n)},
+             1: {'keypts': kp_b, 'descriptors': desc,
+                 'scores': rng.random(n)}}
+    stats = evaluate_scene_pairs(frags, [(1, 0, t_gt)], num_keypts=50)
+    assert stats['recall'] == 1.0
+
+
+def test_select_top_keypoints(rng):
+    kp = rng.random((100, 3))
+    desc = rng.random((100, 8))
+    scores = np.arange(100.0)
+    k, d = select_top_keypoints(kp, desc, scores, 10)
+    np.testing.assert_array_equal(k, kp[90:])
+
+
+def test_repeatability_perfect_and_none(rng):
+    kp = (rng.random((64, 3)) * 10).astype(np.float32)
+    t = random_transform(rng)
+    rep = keypoint_repeatability(kp, apply_transform(kp, t).astype(np.float32),
+                                 t, threshold=0.1, k_sweep=(4, 64))
+    assert rep[4] == 1.0 and rep[64] == 1.0
+    far = kp + 100.0
+    rep2 = keypoint_repeatability(kp, far.astype(np.float32), np.eye(4),
+                                  threshold=0.1, k_sweep=(4,))
+    assert rep2[4] == 0.0
+
+
+def test_log_roundtrip(tmp_path, rng):
+    t1, t2 = random_transform(rng), random_transform(rng)
+    path = str(tmp_path / 'est.log')
+    write_log(path, [(0, 1, 60, t1), (3, 7, 60, t2)])
+    loaded = load_log(path)
+    np.testing.assert_allclose(loaded['0_1'], t1, rtol=1e-6)
+    np.testing.assert_allclose(loaded['3_7'], t2, rtol=1e-6)
+
+
+def test_icp_refines_noisy_pose(rng):
+    pts = (rng.random((2000, 3)) * np.array([4, 4, 1])).astype(np.float32)
+    t_gt = random_transform(rng, angle=0.3, shift=0.5)
+    dst = apply_transform(pts, t_gt).astype(np.float32)
+    # perturbed initial guess
+    t_init = t_gt.copy()
+    t_init[:3, 3] += 0.05
+    t = icp_point_to_point(pts, dst, threshold=0.2, init=t_init)
+    rte, rre = transform_error(t, t_gt)
+    assert rte < 0.01 and rre < 0.5
