@@ -84,9 +84,10 @@ class Config:
 
     # ---- static-shape (TPU) knobs ------------------------------------------
     # Per-level neighbor-degree caps K_l for conv/pool/upsample index matrices.
-    # Default values reproduce the reference's calibrated ~0.8-coverage limits
-    # for 3DMatch (keep_ratio=0.8 histogram rule, datasets/common.py:572-673).
-    neighborhood_limits: Tuple[int, ...] = (38, 36, 36, 38, 35)
+    # Defaults calibrated on the real demo fragments with the reference's
+    # keep_ratio=0.8 histogram rule (datasets/common.py:572-673) via
+    # d3feat_tpu.data.calibration.
+    neighborhood_limits: Tuple[int, ...] = (36, 29, 30, 31, 31)
     # Maximum stacked points at level 0 (anchor + positive). Finer levels
     # derive their capacity via `level_capacity_ratios`.
     max_points: int = 65536
@@ -228,11 +229,11 @@ def threedmatch_config(**overrides) -> Config:
         safe_radius=0.1,
         keypts_num=256,
         augment_noise=0.005,
-        # measured |l+1|/|l| on 3DMatch-style surface scans: ~0.17-0.27
-        # (2x voxel on a 2D manifold shrinks 4-6x); generous 0.5 wastes up
-        # to 26x compute at the coarse levels. Inference retries with the
-        # safe scalar ratio on overflow (runtime/tester.py).
-        level_capacity_ratios=(0.25, 0.30, 0.33, 0.35),
+        # calibrated on the real demo fragments (worst-case |l+1|/|l| with
+        # 1.3x margin); the generous scalar 0.5 wastes up to 26x compute at
+        # the coarse levels. Inference retries overflowing fragments in a
+        # safe wide-bucket program (runtime/tester.py).
+        level_capacity_ratios=(0.29, 0.37, 0.37, 0.41),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

@@ -201,7 +201,7 @@ class KPConvOp(nn.Module):
             n_s = ctx.points(l).shape[0]
             return kpconv_ones(inds, geom, w, n_s)
         table = lane_pad_table(features, ctx._dtype())
-        return kpconv_apply(inds, geom, table, w, self.in_dim)
+        return kpconv_apply(inds, geom, table, w)
 
 
 class Unary(nn.Module):

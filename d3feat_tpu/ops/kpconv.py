@@ -234,14 +234,30 @@ def influence_weights_from_rel(
     return (weights * valid[:, None, :]).astype(out_dtype)
 
 
-def lane_pad_table(features: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
-    """[Ns, C] -> [Ns+1, ceil(C/128)*128] gather table: zero shadow row at
-    index Ns, zero lane padding (so channel sums over the padded table equal
-    sums over the real channels)."""
+def lane_pad_table(features: jax.Array, dtype=jnp.bfloat16,
+                   with_rowsum: bool = False) -> jax.Array:
+    """[Ns, C] -> [Ns+1, ceil((C+1)/128)*128] gather table: zero shadow row
+    at index Ns, zero lane padding, and (when ``with_rowsum`` and a spare
+    lane exists) the per-row channel sum stored in lane C.
+
+    The rowsum lane was meant to make the density-normalization count
+    (`convolution_ops.py:249-253`) ride the feature gather instead of
+    re-reading the gathered [N, K, L] block — but measured SLOWER on v5e
+    (69.8 vs 57.4 ms full-model: the strided column write + lost fusion
+    cost more than the saved re-read), so it is off by default. Consumers
+    of the full lane range are unaffected either way: the corresponding
+    kernel-weight lanes are zero-padded.
+    """
     n, c = features.shape
     lanes = -(-c // LANE) * LANE
+    if lanes == c:
+        with_rowsum = False  # no spare lane without growing the row
     table = jnp.zeros((n + 1, lanes), dtype=dtype)
-    return table.at[:n, :c].set(features.astype(dtype))
+    table = table.at[:n, :c].set(features.astype(dtype))
+    if with_rowsum and c < lanes:
+        rowsum = jnp.sum(features.astype(jnp.float32), axis=1)
+        table = table.at[:n, c].set(rowsum.astype(dtype))
+    return table
 
 
 def kpconv_apply(
@@ -249,7 +265,8 @@ def kpconv_apply(
     weights: jax.Array,          # [Nq, P, K] from influence_weights
     table: jax.Array,            # [Ns+1, L] from lane_pad_table
     kernel_weights: jax.Array,   # [P, C_in, C_out]
-    in_dim: int = 0,             # unused; kept for call-site clarity
+    rowsum_lane: int = -1,       # lane holding the per-row channel sum
+                                 # (from lane_pad_table), or -1 if absent
 ) -> jax.Array:
     """Feature half of KPConv over precomputed geometry (steps 5-6 of
     `kpconv`; density normalization of `convolution_ops.py:249-253`).
@@ -268,9 +285,13 @@ def kpconv_apply(
     kw = kw.at[:, :c_in, :].set(kernel_weights.astype(weights.dtype))
     out = jnp.einsum('npl,plo->no', wf.astype(weights.dtype), kw,
                      preferred_element_type=jnp.float32)
-    # density normalization: count neighbors with positive channel sum;
-    # lane padding is zero so the sum over L equals the sum over C_in.
-    feat_sum = jnp.sum(nf.astype(jnp.float32), axis=-1)
+    # density normalization: count neighbors with positive channel sum.
+    # lane_pad_table can store the row channel-sum in a spare lane (free
+    # with this gather); otherwise reduce the gathered lanes.
+    if rowsum_lane >= 0:
+        feat_sum = nf[:, :, rowsum_lane].astype(jnp.float32)
+    else:
+        feat_sum = jnp.sum(nf.astype(jnp.float32), axis=-1)
     neighbor_num = jnp.sum((feat_sum > 0.0).astype(out.dtype), axis=-1)
     neighbor_num = jnp.maximum(neighbor_num, 1.0)
     return out / neighbor_num[:, None]

@@ -114,7 +114,7 @@ def test_fast_path_matches_oracle_f32(rng):
     want = np.asarray(kpconv(q, s, neigh, feats, kp, kw, 0.1))
     w = influence_weights(q, s, neigh, kp, 0.1, out_dtype=jnp.float32)
     table = lane_pad_table(feats, jnp.float32)
-    got = np.asarray(kpconv_apply(neigh, w, table, kw, feats.shape[1]))
+    got = np.asarray(kpconv_apply(neigh, w, table, kw))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
@@ -126,7 +126,7 @@ def test_fast_path_bf16_close(rng):
     want = np.asarray(kpconv(q, s, neigh, feats, kp, kw, 0.1))
     w = influence_weights(q, s, neigh, kp, 0.1, out_dtype=jnp.bfloat16)
     table = lane_pad_table(feats, jnp.bfloat16)
-    got = np.asarray(kpconv_apply(neigh, w, table, kw, feats.shape[1]))
+    got = np.asarray(kpconv_apply(neigh, w, table, kw))
     # bf16 relative error ~1e-2
     err = np.abs(got - want) / (np.abs(want) + 1e-2)
     assert err.max() < 0.1, err.max()
