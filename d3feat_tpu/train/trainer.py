@@ -195,7 +195,8 @@ class Trainer:
     validation, and the reference's cooperative kill-file
     (`utils/trainer.py:222-224,330-332`)."""
 
-    def __init__(self, config: Config, save_dir: str):
+    def __init__(self, config: Config, save_dir: str,
+                 debug_nan: bool = False):
         self.config = config
         self.save_dir = save_dir
         os.makedirs(save_dir, exist_ok=True)
@@ -203,7 +204,12 @@ class Trainer:
         self.train_step = make_train_step(config)
         self.eval_step = make_eval_step(config)
         self.log_path = os.path.join(save_dir, 'training.txt')
+        self.metrics_path = os.path.join(save_dir, 'metrics.jsonl')
         self.kill_file = os.path.join(save_dir, 'running_PID.txt')
+        # NaN hunt mode (reference `debug_NaN`, utils/trainer.py:205-207,
+        # 579-675): on a non-finite loss, dump the offending batch + a
+        # per-variable NaN report and stop.
+        self.debug_nan = debug_nan
 
     def _log(self, msg: str) -> None:
         with open(self.log_path, 'a') as fh:
@@ -243,6 +249,13 @@ class Trainer:
             if i >= cfg.epoch_steps:
                 break
             state, metrics = self.train_step(state, batch)
+            if self.debug_nan:
+                total = float(metrics['total'])
+                if not np.isfinite(total):
+                    self._dump_nan_report(state, batch, metrics, epoch, i)
+                    raise FloatingPointError(
+                        f'non-finite loss at epoch {epoch} step {i}; '
+                        f'debug dump in {self.save_dir}/nan_debug')
             if i % 100 == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.perf_counter() - t_last
@@ -252,6 +265,10 @@ class Trainer:
                     f'desc={m["desc_loss"]:.4f} det={m["det_loss"]:.4f} '
                     f'acc={m["accuracy"]:.3f} d_pos={m["d_pos"]:.3f} '
                     f'd_neg={m["d_neg"]:.3f} dt={dt:.1f}s')
+                import json
+                with open(self.metrics_path, 'a') as fh:
+                    fh.write(json.dumps(
+                        {'epoch': epoch, 'step': i, **m}) + '\n')
             if not os.path.exists(self.kill_file):
                 break
         return state
@@ -274,3 +291,24 @@ class Trainer:
     def snapshot(self, state: TrainState, epoch: int) -> None:
         from d3feat_tpu.utils.checkpoint import save_checkpoint
         save_checkpoint(os.path.join(self.save_dir, f'snap-{epoch}'), state)
+
+    def _dump_nan_report(self, state, batch, metrics, epoch, step) -> None:
+        """Reference NaN hunt (`utils/trainer.py:579-675`): per-variable
+        NaN percentages + the offending inputs, saved for offline replay."""
+        out_dir = os.path.join(self.save_dir, 'nan_debug')
+        os.makedirs(out_dir, exist_ok=True)
+        lines = [f'# non-finite loss at epoch {epoch} step {step}',
+                 f'# metrics: ' + ' '.join(
+                     f'{k}={float(v):.4g}' for k, v in metrics.items())]
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                state.params)[0]:
+            arr = np.asarray(leaf)
+            frac = float(np.mean(~np.isfinite(arr)))
+            if frac > 0:
+                lines.append(f'{jax.tree_util.keystr(path)}: '
+                             f'{100 * frac:.2f}% non-finite')
+        with open(os.path.join(out_dir, 'report.txt'), 'w') as fh:
+            fh.write('\n'.join(lines) + '\n')
+        np.savez(os.path.join(out_dir, 'batch.npz'),
+                 **{k: np.asarray(v) for k, v in batch.items()
+                    if not isinstance(v, dict)})
