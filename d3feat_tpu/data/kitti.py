@@ -1,7 +1,9 @@
 """KITTI odometry dataset adapter.
 
 Re-implementation of `datasets/KITTI.py` (reference):
-  * pair list: frames >= 10 m apart per sequence (`KITTI.py:82-115`);
+  * pair list: per sequence, each pair spans ~10 m of travel — the scan
+    plus the *last* following frame within 10 m (`KITTI.py:82-115`; note
+    the `- 1` at `:104`);
     standard DGR splits — train 00-05, val 06-07, test 08-10 (the
     reference ships these as data/kitti/config/*.txt);
   * GT: camera odometry mapped through velo2cam, refined by point-to-point
@@ -93,7 +95,8 @@ class KITTIDataset:
 
     # -- pair list -------------------------------------------------------------
     def prepare_pairs(self, split: str) -> List[Tuple[int, int, int]]:
-        """Frames >= 10 m apart (`KITTI.py:82-115`)."""
+        """Pairs spanning ~10 m of travel (`KITTI.py:82-115`; the -1 picks
+        the last frame still within 10 m)."""
         if split in self.pairs:
             return self.pairs[split]
         pairs: List[Tuple[int, int, int]] = []

@@ -49,6 +49,27 @@ def init_kpfcnn(config: Config, pyramid: Dict, seed: int = 0):
     return model, variables
 
 
+def init_variables(config: Config, seed: int = 0):
+    """Initialize model variables from a small dummy pyramid.
+
+    Parameters and kernel points depend only on channel dims and the
+    config geometry — never on the pyramid capacities (verified by the
+    padding-invariance test) — so a tiny synthetic cloud suffices and any
+    bucket size can be served afterwards.
+    """
+    import numpy as np
+    from d3feat_tpu.data.batching import make_test_batch
+    rng = np.random.default_rng(0)
+    scale = config.first_subsampling_dl * 40.0
+    cloud = (rng.random((512, 3)) * scale).astype(np.float32)
+    small = config.replace(max_points=1024, size_multiple=64,
+                           level_capacity_ratio=1.0,
+                           level_capacity_ratios=())
+    batch = make_test_batch(cloud, small)
+    _, variables = init_kpfcnn(config, batch['pyramid'], seed)
+    return variables
+
+
 class KPFCNN(nn.Module):
     """Fully-convolutional kernel-point network with detection head."""
     config: Config

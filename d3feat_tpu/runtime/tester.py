@@ -62,9 +62,11 @@ class DescriptorExtractor:
     def _forward_for_safe(self, cap: int):
         key = -cap  # separate cache slot for the wide-bucket program
         if key not in self._fns:
+            # ratio 1.0: every level padded to the level-0 capacity —
+            # slow but cannot overflow (subsampling never adds points)
             cfg = self.config.replace(max_points=cap,
                                       level_capacity_ratios=(),
-                                      level_capacity_ratio=0.5)
+                                      level_capacity_ratio=1.0)
             model = KPFCNN(cfg)
 
             @jax.jit

@@ -38,10 +38,9 @@ def main():
 
     from d3feat_tpu.config import Config, threedmatch_config
     from d3feat_tpu.data.threedmatch import TEST_SCENES, ThreeDMatchDataset
-    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.models.kpfcnn import init_variables
     from d3feat_tpu.runtime import DescriptorExtractor, generate_descriptors
     from d3feat_tpu.train.trainer import create_train_state
-    from d3feat_tpu.data.batching import make_test_batch
 
     if args.snapshot:
         cfg = Config.load(os.path.join(args.snapshot, 'parameters.txt'))
@@ -50,12 +49,7 @@ def main():
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl,
                                  load_test=True)
-    example = make_test_batch(dataset.test_points[0], cfg.replace(
-        max_points=-(-len(dataset.test_points[0]) // cfg.size_multiple)
-        * cfg.size_multiple))
-    model, variables = init_kpfcnn(cfg.replace(
-        max_points=example['pyramid']['features'].shape[0]),
-        example['pyramid'])
+    variables = init_variables(cfg)
     if args.snapshot:
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
                                                  restore_checkpoint)

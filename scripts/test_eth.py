@@ -33,8 +33,7 @@ def main():
 
     from d3feat_tpu.config import Config, eth_test_config
     from d3feat_tpu.data.eth import ETHDataset
-    from d3feat_tpu.data.batching import make_test_batch
-    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.models.kpfcnn import init_variables
     from d3feat_tpu.runtime import DescriptorExtractor, generate_descriptors
     from d3feat_tpu.train.trainer import create_train_state
 
@@ -45,12 +44,7 @@ def main():
                               KP_extent=2.0)
 
     dataset = ETHDataset(args.data, 0.0625)
-    example = make_test_batch(dataset.test_points[0], cfg.replace(
-        max_points=-(-len(dataset.test_points[0]) // cfg.size_multiple)
-        * cfg.size_multiple))
-    model, variables = init_kpfcnn(cfg.replace(
-        max_points=example['pyramid']['features'].shape[0]),
-        example['pyramid'])
+    variables = init_variables(cfg)
     if args.snapshot:
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
                                                  restore_checkpoint)

@@ -38,8 +38,7 @@ def main():
 
     from d3feat_tpu.config import Config, kitti_config
     from d3feat_tpu.data.kitti import KITTIDataset
-    from d3feat_tpu.data.batching import make_test_batch
-    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.models.kpfcnn import init_variables
     from d3feat_tpu.runtime import DescriptorExtractor
     from d3feat_tpu.train.trainer import create_train_state
     from d3feat_tpu.eval.registration import (ransac_registration,
@@ -51,13 +50,17 @@ def main():
         cfg = kitti_config()
 
     dataset = KITTIDataset(args.data, cfg.first_subsampling_dl)
-    pairs = dataset.prepare_pairs('test')
-    if args.max_pairs:
-        pairs = pairs[:args.max_pairs]
+    variables = init_variables(cfg)
+    if args.snapshot:
+        from d3feat_tpu.utils.checkpoint import (latest_snapshot,
+                                                 restore_checkpoint)
+        state = restore_checkpoint(latest_snapshot(args.snapshot),
+                                   create_train_state(cfg, variables))
+        variables = {'params': state.params,
+                     'batch_stats': state.batch_stats,
+                     'kpoints': state.kpoints}
+    extractor = DescriptorExtractor(cfg, variables)
 
-    example_pts = None
-    variables = None
-    extractor = None
     rng = np.random.default_rng(0)
     os.makedirs(args.cache, exist_ok=True)
 
@@ -66,23 +69,6 @@ def main():
             dataset.test_pairs()):
         if args.max_pairs and n >= args.max_pairs:
             break
-        if extractor is None:
-            batch = make_test_batch(anc, cfg.replace(
-                max_points=-(-len(anc) // cfg.size_multiple)
-                * cfg.size_multiple))
-            _, variables = init_kpfcnn(cfg.replace(
-                max_points=batch['pyramid']['features'].shape[0]),
-                batch['pyramid'])
-            if args.snapshot:
-                from d3feat_tpu.utils.checkpoint import (latest_snapshot,
-                                                         restore_checkpoint)
-                state = restore_checkpoint(
-                    latest_snapshot(args.snapshot),
-                    create_train_state(cfg, variables))
-                variables = {'params': state.params,
-                             'batch_stats': state.batch_stats,
-                             'kpoints': state.kpoints}
-            extractor = DescriptorExtractor(cfg, variables)
 
         cache_file = os.path.join(args.cache, f'{drive}_{t0}_{t1}.npz')
         if os.path.exists(cache_file):

@@ -1,0 +1,108 @@
+"""KITTI adapter tests over a synthetic odometry fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from d3feat_tpu.config import kitti_config
+from d3feat_tpu.data.kitti import KITTIDataset
+from d3feat_tpu.eval.registration import apply_transform
+
+
+@pytest.fixture(scope='module')
+def kitti_root(tmp_path_factory):
+    """Two-sequence synthetic KITTI layout: velodyne bins + poses + calib."""
+    root = tmp_path_factory.mktemp('kitti')
+    rng = np.random.default_rng(0)
+
+    # a 'road' of points along x, the car drives 4m per frame
+    world = (rng.random((60000, 3)) * np.array([200.0, 30.0, 4.0])
+             - np.array([0.0, 15.0, 2.0])).astype(np.float32)
+
+    velo2cam = np.eye(4)
+    velo2cam[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]],
+                                np.float32)
+
+    for seq in (0, 8):
+        vdir = root / 'sequences' / f'{seq:02d}' / 'velodyne'
+        os.makedirs(vdir)
+        with open(root / 'sequences' / f'{seq:02d}' / 'calib.txt', 'w') as fh:
+            tr = ' '.join(str(v) for v in velo2cam[:3, :4].reshape(-1))
+            fh.write('P0: 1 0 0 0 0 1 0 0 0 0 1 0\n')
+            fh.write(f'Tr: {tr}\n')
+        poses = []
+        for frame in range(8):
+            x = 4.0 * frame
+            # velodyne frame: points within 50m of the car at (x, 0, 0)
+            local = world - np.array([x, 0, 0], np.float32)
+            sel = local[np.linalg.norm(local[:, :2], axis=1) < 50.0]
+            r = np.hstack([sel, np.zeros((len(sel), 1), np.float32)])
+            r.astype(np.float32).tofile(vdir / f'{frame:06d}.bin')
+            # camera pose = velo2cam . T_velo . velo2cam^-1 with
+            # T_velo = translation by (x, 0, 0)
+            t_velo = np.eye(4)
+            t_velo[0, 3] = x
+            cam = velo2cam @ t_velo @ np.linalg.inv(velo2cam)
+            poses.append(cam[:3].reshape(-1))
+        os.makedirs(root / 'poses', exist_ok=True)
+        np.savetxt(root / 'poses' / f'{seq:02d}.txt', np.asarray(poses))
+    return str(root)
+
+
+def test_pair_list_10m_apart(kitti_root):
+    ds = KITTIDataset(kitti_root, voxel_size=0.5,
+                      splits={'train': (0,), 'test': (8,)})
+    pairs = ds.prepare_pairs('train')
+    assert len(pairs) >= 2
+    for drive, t0, t1 in pairs:
+        assert drive == 0
+        # the reference picks the LAST frame within 10 m (the -1 in
+        # KITTI.py:104): at 4 m/frame that is t0+2 (8 m apart)
+        assert (t1 - t0) == 2
+
+
+def test_gt_transform_accurate_and_cached(kitti_root):
+    ds = KITTIDataset(kitti_root, voxel_size=0.5,
+                      splits={'train': (0,), 'test': (8,)})
+    (drive, t0, t1) = ds.prepare_pairs('train')[0]
+    trans = ds.gt_transform(drive, t0, t1)
+    # ground truth: scan t0's frame is 4*(t1-t0) ahead in x
+    want = np.eye(4)
+    want[0, 3] = -4.0 * (t1 - t0)
+    np.testing.assert_allclose(trans, want, atol=0.05)
+    assert os.path.exists(os.path.join(ds.icp_dir, f'{drive}_{t0}_{t1}.npy'))
+
+
+def test_load_pair_matches(kitti_root):
+    ds = KITTIDataset(kitti_root, voxel_size=0.5,
+                      splits={'train': (0,), 'test': (8,)})
+    ds.prepare_pairs('train')
+    loaded = ds.load_pair('train', 0)
+    assert loaded is not None
+    anc_t, pos, matches, trans = loaded
+    assert len(matches) >= 1024
+    d = np.linalg.norm(anc_t[matches[:, 0]] - pos[matches[:, 1]], axis=1)
+    assert np.all(d <= ds.match_radius + 1e-5)
+
+
+def test_train_batches(kitti_root, rng):
+    cfg = kitti_config(max_points=65536, size_multiple=1024,
+                       level_capacity_ratio=1.0, level_capacity_ratios=(),
+                       keypts_num=64)
+    ds = KITTIDataset(kitti_root, voxel_size=0.5,
+                      splits={'train': (0,), 'test': (8,)})
+    batch = next(ds.train_batches(cfg, rng))
+    assert batch['corr_valid'].sum() == 64
+    assert batch['trans'].shape == (4, 4)
+
+
+def test_test_pairs_iterator(kitti_root):
+    ds = KITTIDataset(kitti_root, voxel_size=0.5,
+                      splits={'train': (0,), 'test': (8,)})
+    key, anc, pos, trans = next(ds.test_pairs())
+    assert key[0] == 8
+    # GT aligns anc onto pos
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(pos).query(apply_transform(anc, trans), k=1, workers=-1)
+    assert np.median(d) < 0.5
