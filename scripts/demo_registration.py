@@ -106,6 +106,17 @@ def main():
         axis=1).mean() if len(inliers) else float('nan')
     print(f'mean inlier residual: {resid:.4f} m')
 
+    # keypoint visualization dump (reference demo draws top-50 keypoints,
+    # demo_registration.py:212-270; headless here -> write PLYs instead)
+    from d3feat_tpu.data.ply import write_ply
+    for i, (kp, _) in enumerate(results):
+        write_ply(os.path.join(args.out, f'keypoints_{i}.ply'),
+                  [kp[-50:]], ['x', 'y', 'z'])
+    write_ply(os.path.join(args.out, 'cloud_0_aligned.ply'),
+              [apply_transform(clouds[0], trans).astype(np.float32)],
+              ['x', 'y', 'z'])
+    print(f'wrote keypoint + aligned-cloud PLYs under {args.out}')
+
 
 if __name__ == '__main__':
     main()

@@ -29,6 +29,11 @@ def main():
     ap.add_argument('--out', default='geometric_registration')
     ap.add_argument('--experiment', default='tpu')
     ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--ransac', action='store_true',
+                    help='also run RANSAC per GT pair and write est.log '
+                         'files for the MATLAB registration-recall '
+                         'protocol (geometric_registration/evaluate.py:'
+                         '84-110 analog)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -89,6 +94,26 @@ def main():
             print(f'{scene}: recall={stats["recall"]:.4f} '
                   f'inlier_ratio={stats["inlier_ratio"]:.4f} '
                   f'({int(stats["num_pairs"])} pairs)')
+
+            if args.ransac:
+                from d3feat_tpu.eval.benchmark_logs import write_log
+                from d3feat_tpu.eval.fmr import select_top_keypoints
+                from d3feat_tpu.eval.registration import ransac_registration
+                records = []
+                n_frag = len(frags)
+                for i, j, _ in pairs:
+                    ki, di = select_top_keypoints(
+                        frags[i]['keypts'], frags[i]['descriptors'],
+                        frags[i]['scores'], args.num_keypts)
+                    kj, dj = select_top_keypoints(
+                        frags[j]['keypts'], frags[j]['descriptors'],
+                        frags[j]['scores'], args.num_keypts)
+                    t_est, _, _ = ransac_registration(
+                        kj, ki, dj, di, distance_threshold=0.05,
+                        max_iters=50000)
+                    records.append((i, j, n_frag, t_est))
+                write_log(os.path.join(out_dir, 'est_logs', scene,
+                                       f'{scene}.log'), records)
         avg = np.mean([s['recall'] for s in scene_stats.values()])
         print(f'average FMR over {len(scene_stats)} scenes: {avg:.4f}')
 

@@ -53,10 +53,12 @@ def main():
                                                  restore_checkpoint)
         state = restore_checkpoint(latest_snapshot(args.restore), state)
 
+    from d3feat_tpu.data.loader import prefetch
     trainer = Trainer(cfg, save_dir)
     trainer.train(
         state,
-        train_batches=lambda: dataset.train_batches(cfg, rng, 'train'),
+        train_batches=lambda: prefetch(
+            lambda: dataset.train_batches(cfg, rng, 'train')),
         val_batches=lambda: dataset.train_batches(cfg, val_rng, 'val'),
         num_epochs=args.epochs)
 
