@@ -103,6 +103,10 @@ class Config:
     # Ship int16 relative vectors from the host radius search so the device
     # computes influence weights without a coordinate gather.
     host_geometry: bool = True
+    # Width of the upsample index matrices. The shipped architectures only
+    # use nearest_upsample (column 0); raise for simple_upsample /
+    # resnetb_upsample blocks, which convolve over the upsample lists.
+    upsample_k: int = 1
     # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
     size_multiple: int = 1024
     # Compute dtype for gather tables / conv einsums ('float32' keeps exact

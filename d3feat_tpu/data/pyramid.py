@@ -113,7 +113,7 @@ def build_pyramid(
     pts, lens = stacked_points, np.asarray(lengths, np.int32)
     out_points, out_neigh, out_pools, out_ups = [], [], [], []
     out_masks, out_lengths = [], []
-    out_rels, out_pool_rels = [], []
+    out_rels, out_pool_rels, out_up_rels = [], [], []
     host_geom = config.host_geometry
 
     def _pad_rel(rel: np.ndarray, n_rows_cap: int) -> np.ndarray:
@@ -150,8 +150,13 @@ def build_pyramid(
             else:
                 pool_i = batch_radius_neighbors(pool_p, pts, pool_b, lens,
                                                 r, k_l)
-            up_i = batch_radius_neighbors(pts, pool_p, lens, pool_b,
-                                          2.0 * r, 1)
+            if host_geom and config.upsample_k > 1:
+                up_i, up_rel = batch_radius_neighbors_rel(
+                    pts, pool_p, lens, pool_b, 2.0 * r, config.upsample_k)
+                out_up_rels.append(_pad_rel(up_rel, cap))
+            else:
+                up_i = batch_radius_neighbors(pts, pool_p, lens, pool_b,
+                                              2.0 * r, config.upsample_k)
             out_pools.append(
                 _pad_inds(pool_i, cap_next, n_l, cap))
             out_ups.append(
@@ -194,4 +199,6 @@ def build_pyramid(
     if host_geom:
         out['rels'] = tuple(out_rels)
         out['pool_rels'] = tuple(out_pool_rels)
+        if out_up_rels:
+            out['up_rels'] = tuple(out_up_rels)
     return out

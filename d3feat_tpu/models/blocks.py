@@ -161,6 +161,29 @@ class BlockCtx:
                     cfg.KP_influence, cfg.convolution_mode, self._dtype())
         return self._conv_w[l]
 
+    def up_weights(self, l_coarse: int) -> jax.Array:
+        """Influence weights for upsample convolutions (simple_upsample /
+        resnetb_upsample, `network_blocks.py:893-968`): queries = fine
+        level l_coarse-1, supports = coarse level l_coarse, index matrix =
+        upsamples[l_coarse-1] built at radius 2*r_fine = r_coarse."""
+        cfg = self.config
+        ups = self.upsamples(l_coarse - 1)
+        if ups.shape[1] < 2:
+            raise ValueError(
+                'upsample convolutions need config.upsample_k > 1 (the '
+                'default 1 only supports nearest_upsample)')
+        radius = self.search_radius(l_coarse)
+        if 'up_rels' in self.pyramid:
+            return influence_weights_from_rel(
+                self.pyramid['up_rels'][l_coarse - 1], ups,
+                self.points(l_coarse).shape[0], radius,
+                self.kernel_points(l_coarse), self.extent(l_coarse),
+                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+        return influence_weights(
+            self.points(l_coarse - 1), self.points(l_coarse), ups,
+            self.kernel_points(l_coarse), self.extent(l_coarse),
+            cfg.KP_influence, cfg.convolution_mode, self._dtype())
+
     def pool_weights(self, l: int) -> jax.Array:
         if l not in self._pool_w:
             cfg = self.config
@@ -326,6 +349,88 @@ class ResnetBlock(nn.Module):
         return leaky_relu(y + shortcut)
 
 
+class VggBlock(nn.Module):
+    """Two simple convolutions (`network_blocks.py:817-852`)."""
+    config: Config
+    fdim: int
+    layer: int
+
+    @nn.compact
+    def __call__(self, ctx: BlockCtx, x, training):
+        for i in range(2):
+            x = SimpleBlock(self.config, self.fdim, self.layer,
+                            name=f'conv{i + 1}')(ctx, x, training)
+        return x
+
+
+class UpsampleKPConv(nn.Module):
+    """KPConv over the upsample index lists: queries at the finer level,
+    supports at the coarse level (`network_blocks.py:893-915`)."""
+    config: Config
+    in_dim: int
+    out_dim: int
+    layer: int  # coarse level
+
+    @nn.compact
+    def __call__(self, ctx: BlockCtx, features):
+        cfg = self.config
+        w = self.param(
+            'weights',
+            trunc_normal_rounded(float(np.sqrt(2.0 / self.out_dim))),
+            (cfg.num_kernel_points, self.in_dim, self.out_dim))
+        table = lane_pad_table(features, ctx._dtype())
+        return kpconv_apply(ctx.upsamples(self.layer - 1),
+                            ctx.up_weights(self.layer), table, w)
+
+
+class SimpleUpsampleBlock(nn.Module):
+    """simple_upsample (`network_blocks.py:893-915`): upsample KPConv +
+    BN + leaky relu."""
+    config: Config
+    fdim: int
+    layer: int
+
+    @nn.compact
+    def __call__(self, ctx: BlockCtx, x, training):
+        y = UpsampleKPConv(self.config, x.shape[-1], self.fdim,
+                           self.layer)(ctx, x)
+        y = MaskedBatchNorm(self.config.batch_norm_momentum)(
+            y, ctx.mask(self.layer - 1), training)
+        return leaky_relu(y)
+
+
+class ResnetbUpsampleBlock(nn.Module):
+    """resnetb_upsample (`network_blocks.py:918-968`): bottleneck with an
+    upsample KPConv; shortcut = nearest interpolation (closest_pool)."""
+    config: Config
+    fdim: int
+    layer: int
+
+    @nn.compact
+    def __call__(self, ctx: BlockCtx, x, training):
+        cfg, l, fdim = self.config, self.layer, self.fdim
+        out_mask = ctx.mask(l - 1)
+        y = Unary(cfg, fdim // 2, name='conv1')(x, ctx.mask(l), training)
+        y = UpsampleKPConv(cfg, fdim // 2, fdim // 2, l, name='conv2')(
+            ctx, y)
+        y = MaskedBatchNorm(cfg.batch_norm_momentum, name='conv2_bn')(
+            y, out_mask, training)
+        y = leaky_relu(y)
+        y = Unary(cfg, 2 * fdim, bn_relu=False, name='conv3_w')(
+            y, out_mask, training)
+        y = MaskedBatchNorm(cfg.batch_norm_momentum, name='conv3_bn')(
+            y, out_mask, training)
+
+        shortcut = closest_pool(x, ctx.upsamples(l - 1))
+        if shortcut.shape[-1] != 2 * fdim:
+            shortcut = Unary(cfg, 2 * fdim, bn_relu=False,
+                             name='shortcut_w')(shortcut, out_mask, training)
+            shortcut = MaskedBatchNorm(cfg.batch_norm_momentum,
+                                       name='shortcut_bn')(
+                shortcut, out_mask, training)
+        return leaky_relu(y + shortcut)
+
+
 def nearest_upsample(ctx: BlockCtx, x, layer: int):
     """Copy each fine point the feature of its nearest coarse point
     (`network_blocks.py:971-979`): uses upsamples[layer-1], rows = fine
@@ -339,8 +444,17 @@ def max_pool(ctx: BlockCtx, x, layer: int):
     return index_max_pool(x, ctx.pools(layer))
 
 
-def global_average(ctx: BlockCtx, x, layer: int, cloud_inds=None):
-    """Masked global average over valid rows
-    (`network_blocks.py` global_average_block)."""
-    mask = ctx.mask(layer).astype(x.dtype)[:, None]
-    return jnp.sum(x * mask, axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
+def global_average(ctx: BlockCtx, x, layer: int):
+    """Per-cloud global average (`network_blocks.py:866-890`): returns a
+    [B, C] summary. Rows are ordered per cloud, so segment ids come from
+    the cumulative per-cloud lengths at this level."""
+    lengths = ctx.pyramid['lengths'][layer]
+    b = lengths.shape[0]
+    cap = x.shape[0]
+    bounds = jnp.cumsum(lengths)
+    rows = jnp.arange(cap)
+    seg = jnp.searchsorted(bounds, rows, side='right')  # pad rows -> b
+    mask = ctx.mask(layer).astype(x.dtype)
+    sums = jax.ops.segment_sum(x * mask[:, None], seg, num_segments=b + 1)
+    counts = jax.ops.segment_sum(mask, seg, num_segments=b + 1)
+    return sums[:b] / jnp.maximum(counts[:b], 1.0)[:, None]

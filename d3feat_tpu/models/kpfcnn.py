@@ -127,13 +127,19 @@ class KPFCNN(nn.Module):
         start_i = block_i
         layer = cfg.num_layers - 1
         fdim = cfg.first_features_dim * 2 ** layer
+        from d3feat_tpu.models.blocks import (ResnetbUpsampleBlock,
+                                              SimpleUpsampleBlock)
         for j, block in enumerate(arch[start_i:]):
             name = f'uplayer{layer}_{block}_{j}'
             if block == 'nearest_upsample':
                 features = nearest_upsample(ctx, features, layer)
-                layer -= 1
-                fdim //= 2
-                features = jnp.concatenate([features, skips[layer]], axis=1)
+            elif block == 'simple_upsample':
+                features = SimpleUpsampleBlock(cfg, fdim, layer, name=name)(
+                    ctx, features, training)
+            elif block == 'resnetb_upsample':
+                features = ResnetbUpsampleBlock(cfg, fdim, layer,
+                                                name=name)(
+                    ctx, features, training)
             elif block == 'unary':
                 features = Unary(cfg, fdim, name=name)(
                     features, ctx.mask(layer), training)
@@ -142,6 +148,10 @@ class KPFCNN(nn.Module):
                     features, ctx.mask(layer), training)
             else:
                 raise ValueError(f'unsupported decoder block: {block}')
+            if 'upsample' in block:
+                layer -= 1
+                fdim //= 2
+                features = jnp.concatenate([features, skips[layer]], axis=1)
 
         # descriptors: L2-normalize, eps 1e-10 (models/D3Feat.py:65)
         sq = jnp.sum(jnp.square(features), axis=1, keepdims=True)
@@ -178,8 +188,15 @@ class KPFCNN(nn.Module):
         if block == 'unary':
             return Unary(cfg, fdim, name=name)(
                 features, ctx.mask(layer), training)
+        if block == 'vgg':
+            from d3feat_tpu.models.blocks import VggBlock
+            return VggBlock(cfg, fdim, layer, name=name)(
+                ctx, features, training)
         if block == 'max_pool' or block == 'max_pool_wide':
             return max_pool(ctx, features, layer)
+        if block == 'global_average':
+            from d3feat_tpu.models.blocks import global_average
+            return global_average(ctx, features, layer)
         if 'deformable' in block or 'inception' in block:
             raise NotImplementedError(
                 f'{block}: deformable KPConv is dead code in every shipped '

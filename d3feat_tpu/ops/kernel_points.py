@@ -54,6 +54,12 @@ def optimize_kernel_points(
 
     if fixed == 'center':
         kp[:, 0, :] = 0.0
+    elif fixed == 'verticals':
+        # center pinned + two points on the vertical axis at +-2/3
+        # (`kernels/kernel_points.py:86-90`)
+        kp[:, :3, :] = 0.0
+        kp[:, 1, -1] = 2.0 / 3.0
+        kp[:, 2, -1] = -2.0 / 3.0
 
     lr = 1e-2
     clip = 0.05
@@ -67,16 +73,21 @@ def optimize_kernel_points(
         repulse = np.sum(diff / (d2[..., None] ** 1.5 + 1e-6), axis=2)
         grad = -repulse + 10.0 * kp
 
-        norms = np.sqrt(np.sum(grad**2, axis=-1) + 1e-12)
+        if fixed == 'verticals':
+            # vertical points move only along the last axis
+            grad[:, 1:3, :-1] = 0.0
+            norms = np.sqrt(np.sum(grad**2, axis=-1) + 1e-12)
+        else:
+            norms = np.sqrt(np.sum(grad**2, axis=-1) + 1e-12)
         final_norms = np.max(norms, axis=1)
-        moving = norms[:, 1:] if fixed == 'center' else norms
-        prev_moving = prev_norms[:, 1:] if fixed == 'center' else prev_norms
-        if np.max(np.abs(moving - prev_moving)) < thresh:
+        n_fixed = {'center': 1, 'verticals': 3}.get(fixed, 0)
+        if np.max(np.abs(norms[:, n_fixed:] - prev_norms[:, n_fixed:])
+                  ) < thresh:
             break
         prev_norms = norms
 
         step = np.minimum(lr * norms, clip)
-        if fixed == 'center':
+        if fixed in ('center', 'verticals'):
             step[:, 0] = 0.0
         kp -= step[..., None] * grad / (norms[..., None] + 1e-6)
         lr *= 0.9995
@@ -122,7 +133,15 @@ def load_kernel_points(
     kp = base.astype(np.float64)
     if rotate and dimension == 3:
         rng = np.random.default_rng(seed)
-        kp = kp @ _random_rotation(rng)
+        if fixed == 'verticals':
+            # verticals stay vertical: rotate about z only
+            # (`kernels/kernel_points.py:232-245`)
+            theta = rng.random() * 2 * np.pi
+            c, s = np.cos(theta), np.sin(theta)
+            rz = np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]])
+            kp = kp @ rz
+        else:
+            kp = kp @ _random_rotation(rng)
     kp = kp * radius
     if jitter and dimension == 3:
         rng_j = np.random.default_rng(None if seed is None else seed + 1)
