@@ -310,7 +310,8 @@ class ResnetBottleneck(nn.Module):
             y, out_mask, training)
 
         if self.strided:
-            shortcut = index_max_pool(x, ctx.pools(l))
+            shortcut = index_max_pool(x, ctx.pools(l),
+                                      gather_dtype=ctx._dtype())
         else:
             shortcut = x
         if shortcut.shape[-1] != 2 * fdim:
@@ -435,7 +436,8 @@ def nearest_upsample(ctx: BlockCtx, x, layer: int):
     """Copy each fine point the feature of its nearest coarse point
     (`network_blocks.py:971-979`): uses upsamples[layer-1], rows = fine
     points of level layer-1, indices into level `layer`."""
-    return closest_pool(x, ctx.upsamples(layer - 1))
+    return closest_pool(x, ctx.upsamples(layer - 1),
+                        gather_dtype=ctx._dtype())
 
 
 def max_pool(ctx: BlockCtx, x, layer: int):

@@ -316,18 +316,24 @@ def kpconv_ones(
     return out / neighbor_num[:, None]
 
 
-def index_max_pool(features: jax.Array, inds: jax.Array) -> jax.Array:
+def index_max_pool(features: jax.Array, inds: jax.Array,
+                   gather_dtype=None) -> jax.Array:
     """Max-pool rows of ``features`` over index lists.
 
     Reference `ind_max_pool` (`models/network_blocks.py:51-66`): the shadow
     row carries the column-wise minimum so padded slots never win the max.
+    ``gather_dtype=bfloat16`` halves the gathered row bytes (max of rounded
+    values; fine under the bf16 compute mode).
     """
     shadow = jnp.min(features, axis=0, keepdims=True)
     feats_ext = jnp.concatenate([features, shadow], axis=0)
-    return jnp.max(feats_ext[inds], axis=1)
+    if gather_dtype is not None and gather_dtype != features.dtype:
+        feats_ext = feats_ext.astype(gather_dtype)
+    return jnp.max(feats_ext[inds], axis=1).astype(features.dtype)
 
 
-def closest_pool(features: jax.Array, inds: jax.Array) -> jax.Array:
+def closest_pool(features: jax.Array, inds: jax.Array,
+                 gather_dtype=None) -> jax.Array:
     """Copy the feature of the nearest (first-column) support point.
 
     Reference `closest_pool` (`models/network_blocks.py:69-83`): shadow row
@@ -336,4 +342,6 @@ def closest_pool(features: jax.Array, inds: jax.Array) -> jax.Array:
     feats_ext = jnp.concatenate(
         [features, jnp.zeros((1, features.shape[1]), dtype=features.dtype)],
         axis=0)
-    return feats_ext[inds[:, 0]]
+    if gather_dtype is not None and gather_dtype != features.dtype:
+        feats_ext = feats_ext.astype(gather_dtype)
+    return feats_ext[inds[:, 0]].astype(features.dtype)
