@@ -18,7 +18,7 @@ reference's *runtime* calibration passes, `datasets/common.py:509-673`):
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Tuple
 
 # Architecture shipped with the reference pretrained models

@@ -7,7 +7,7 @@ numpy structured dtypes rather than the reference's manual field loops.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ reference's Open3D pipeline), and Kabsch refinement over the inliers.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -37,7 +37,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3feat_tpu.config import Config
-from d3feat_tpu.ops.kernel_points import load_kernel_points
 from d3feat_tpu.ops.kpconv import (closest_pool, index_max_pool,
                                    influence_weights,
                                    influence_weights_from_rel, kpconv_apply,

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Dict, Iterator, Optional, Tuple
 
 import flax
@@ -33,7 +32,7 @@ import optax
 
 from d3feat_tpu.config import Config
 from d3feat_tpu.models.kpfcnn import KPFCNN
-from d3feat_tpu.train.losses import cdist, d3feat_loss
+from d3feat_tpu.train.losses import d3feat_loss
 
 
 @flax.struct.dataclass

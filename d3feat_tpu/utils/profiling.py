@@ -18,7 +18,6 @@ from typing import Iterator, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 class AverageMeter:
