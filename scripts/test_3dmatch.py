@@ -72,9 +72,17 @@ def main():
     if args.gt:
         from d3feat_tpu.eval.benchmark_logs import load_log
         from d3feat_tpu.eval.fmr import evaluate_scene_pairs
+
+        def gt_dir(scene):
+            # the reference's gt_result uses a '-evaluation' suffix
+            for cand in (scene, scene + '-evaluation'):
+                if os.path.isdir(os.path.join(args.gt, cand)):
+                    return os.path.join(args.gt, cand)
+            raise FileNotFoundError(f'no gt dir for {scene} under {args.gt}')
+
         scene_stats = {}
         for scene in TEST_SCENES:
-            gt = load_log(os.path.join(args.gt, scene, 'gt.log'))
+            gt = load_log(os.path.join(gt_dir(scene), 'gt.log'))
             frags = {}
             desc_dir = os.path.join(out_dir, 'descriptors', scene)
             for f in os.listdir(desc_dir):
@@ -116,6 +124,27 @@ def main():
                                        f'{scene}.log'), records)
         avg = np.mean([s['recall'] for s in scene_stats.values()])
         print(f'average FMR over {len(scene_stats)} scenes: {avg:.4f}')
+
+        if args.ransac:
+            # registration recall (Choi et al.) — Python replacement for
+            # the reference's MATLAB evaluate.m
+            from d3feat_tpu.eval.recall import load_info, registration_recall
+            recalls = []
+            for scene in TEST_SCENES:
+                info_path = os.path.join(gt_dir(scene), 'gt.info')
+                if not os.path.exists(info_path):
+                    continue
+                gt = load_log(os.path.join(gt_dir(scene), 'gt.log'))
+                info = load_info(info_path)
+                est = load_log(os.path.join(out_dir, 'est_logs', scene,
+                                            f'{scene}.log'))
+                stats = registration_recall(est, gt, info)
+                recalls.append(stats['recall'])
+                print(f'{scene}: registration recall '
+                      f'{stats["recall"]:.4f} '
+                      f'({int(stats["good"])}/{int(stats["gt_num"])})')
+            if recalls:
+                print(f'mean registration recall: {np.mean(recalls):.4f}')
 
 
 if __name__ == '__main__':
