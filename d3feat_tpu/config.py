@@ -107,6 +107,19 @@ class Config:
     # use nearest_upsample (column 0); raise for simple_upsample /
     # resnetb_upsample blocks, which convolve over the upsample lists.
     upsample_k: int = 1
+    # Training pyramids can carry host-built inverse adjacency lists so the
+    # backward of the big feature gathers becomes a gather instead of a
+    # scatter (ops/gather.py). Measured SLOWER end-to-end at demo-pair
+    # scale (68.4 vs 49.7 ms/step: K_inv=2K doubles the gathered rows and
+    # the raw-scatter microbenchmark overstated the fused backward's cost),
+    # so off by default; kept for re-evaluation at larger point counts.
+    train_inverse_gather: bool = False
+    inverse_k: Tuple[int, ...] = ()
+
+    def inverse_limits(self) -> Tuple[int, ...]:
+        if self.inverse_k:
+            return self.inverse_k
+        return tuple(-(-2 * k // 8) * 8 for k in self.neighborhood_limits)
     # Round padded sizes up to a multiple of this (keeps XLA tiles aligned).
     size_multiple: int = 1024
     # Compute dtype for gather tables / conv einsums ('float32' keeps exact

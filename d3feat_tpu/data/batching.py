@@ -79,7 +79,8 @@ def make_training_batch(
 
     stacked = np.concatenate([anc_points, pos_points], axis=0)
     pyramid = build_pyramid(stacked, [len(anc_points), len(pos_points)],
-                            config)
+                            config,
+                            with_inverse=config.train_inverse_gather)
     return {
         'pyramid': pyramid,
         'anc_inds': anc_inds,

@@ -74,6 +74,7 @@ def build_pyramid(
     lengths: Sequence[int],
     config: Config,
     features: np.ndarray | None = None,
+    with_inverse: bool = False,
 ) -> Pyramid:
     """Build the padded multiscale pyramid for a stacked batch of clouds.
 
@@ -114,6 +115,7 @@ def build_pyramid(
     out_points, out_neigh, out_pools, out_ups = [], [], [], []
     out_masks, out_lengths = [], []
     out_rels, out_pool_rels, out_up_rels = [], [], []
+    out_inv_neigh = []
     host_geom = config.host_geometry
 
     def _pad_rel(rel: np.ndarray, n_rows_cap: int) -> np.ndarray:
@@ -167,6 +169,12 @@ def build_pyramid(
 
         out_points.append(_pad_points(pts, cap))
         out_neigh.append(_pad_inds(conv_i, cap, n_l, cap))
+        if with_inverse:
+            from d3feat_tpu.ops.gather import inverse_lists
+            k_inv = config.inverse_limits()[
+                min(l, len(config.inverse_limits()) - 1)]
+            out_inv_neigh.append(
+                inverse_lists(out_neigh[-1], cap + 1, k_inv))
         mask = np.zeros(cap, dtype=bool)
         mask[:n_l] = True
         out_masks.append(mask)
@@ -201,4 +209,6 @@ def build_pyramid(
         out['pool_rels'] = tuple(out_pool_rels)
         if out_up_rels:
             out['up_rels'] = tuple(out_up_rels)
+    if with_inverse:
+        out['inv_neighbors'] = tuple(out_inv_neigh)
     return out

@@ -127,6 +127,13 @@ class BlockCtx:
     def mask(self, l):
         return self.pyramid['masks'][l]
 
+    def inv_neighbors(self, l):
+        """Inverse adjacency for the conv gather's backward (training
+        pyramids only)."""
+        if 'inv_neighbors' in self.pyramid:
+            return self.pyramid['inv_neighbors'][l]
+        return None
+
     # shared geometry ---------------------------------------------------------
     def _dtype(self):
         return (jnp.bfloat16 if self.config.compute_dtype == 'bfloat16'
@@ -223,7 +230,8 @@ class KPConvOp(nn.Module):
             n_s = ctx.points(l).shape[0]
             return kpconv_ones(inds, geom, w, n_s)
         table = lane_pad_table(features, ctx._dtype())
-        return kpconv_apply(inds, geom, table, w)
+        inv = None if self.strided else ctx.inv_neighbors(l)
+        return kpconv_apply(inds, geom, table, w, inv=inv)
 
 
 class Unary(nn.Module):

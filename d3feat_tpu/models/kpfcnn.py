@@ -159,11 +159,12 @@ class KPFCNN(nn.Module):
 
         gather_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
                         else jnp.float32)
+        inv0 = pyramid.get('inv_neighbors', (None,))[0]
         scores = detection_scores(
             pyramid['neighbors'][0], pyramid['cloud_inds'],
             pyramid['masks'][0], features,
             num_clouds=pyramid['lengths'][0].shape[0],
-            gather_dtype=gather_dtype)
+            gather_dtype=gather_dtype, inv=inv0)
         return descriptors, scores
 
     def _encoder_block(self, block, ctx, features, layer, fdim,
@@ -206,7 +207,8 @@ class KPFCNN(nn.Module):
 
 def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      mask0: jax.Array, features: jax.Array,
-                     num_clouds: int, gather_dtype=jnp.float32) -> jax.Array:
+                     num_clouds: int, gather_dtype=jnp.float32,
+                     inv=None) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -237,9 +239,11 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     # local saliency alpha (D3Feat.py:92-98); shadow row is zeros.
     # Gather from a 128-lane zero-padded table (fast-path layout); the
     # padded lanes are zero so channel sums over L equal sums over D.
+    from d3feat_tpu.ops.gather import maybe_gather_rows
     from d3feat_tpu.ops.kpconv import lane_pad_table
     table = lane_pad_table(f, gather_dtype)
-    neigh_f = table[neighbors0].astype(jnp.float32)      # [N0, K, L]
+    neigh_f = maybe_gather_rows(table, neighbors0, inv
+                                ).astype(jnp.float32)    # [N0, K, L]
     neigh_sum = jnp.sum(neigh_f, axis=-1)                # [N0, K]
     # reference uses count_nonzero here (not >0 as in the conv op)
     neigh_num = jnp.sum((neigh_sum != 0.0).astype(f.dtype), axis=-1,

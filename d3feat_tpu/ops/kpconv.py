@@ -28,6 +28,7 @@ golden-test oracle.
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -267,6 +268,8 @@ def kpconv_apply(
     kernel_weights: jax.Array,   # [P, C_in, C_out]
     rowsum_lane: int = -1,       # lane holding the per-row channel sum
                                  # (from lane_pad_table), or -1 if absent
+    inv: Optional[jax.Array] = None,  # inverse lists for the gather's
+                                 # backward (ops/gather.py); training only
 ) -> jax.Array:
     """Feature half of KPConv over precomputed geometry (steps 5-6 of
     `kpconv`; density normalization of `convolution_ops.py:249-253`).
@@ -276,9 +279,10 @@ def kpconv_apply(
     gather+einsum fast path; the lane padding is zeros, and the kernel
     weights are zero-padded to match, so the extra lanes contribute nothing.
     """
+    from d3feat_tpu.ops.gather import maybe_gather_rows
     l = table.shape[1]
     p, c_in, c_out = kernel_weights.shape
-    nf = table[neighbor_inds]                                  # [Nq, K, L]
+    nf = maybe_gather_rows(table, neighbor_inds, inv)          # [Nq, K, L]
     wf = jnp.einsum('npk,nkl->npl', weights, nf,
                     preferred_element_type=jnp.float32)
     kw = jnp.zeros((p, l, c_out), dtype=weights.dtype)
