@@ -17,7 +17,7 @@ import numpy as np
 TARGET_MS = 50.0
 N_POINTS = 100_000
 WARMUP = 2
-ITERS = 10
+ITERS = 20
 
 
 def log(msg):
