@@ -176,17 +176,27 @@ class KITTIDataset:
                       split: str = 'train') -> Iterator[Dict]:
         self.prepare_pairs(split)
         n = len(self.pairs[split])
+        consecutive_skips = 0
         while True:
+            if consecutive_skips > 200:
+                raise RuntimeError(
+                    f'{consecutive_skips} consecutive pair skips on split '
+                    f'{split!r}: every sampled pair fails the match count '
+                    f'or overflows the static capacities — raise '
+                    f'config.max_points / capacity ratios')
             idx = int(rng.integers(n))
             loaded = self.load_pair(split, idx)
             if loaded is None:
+                consecutive_skips += 1
                 continue
             anc, pos, matches, trans = loaded
             try:
                 batch = make_training_batch(anc, pos, matches, config,
                                             rng=rng,
                                             augment=(split == 'train'))
+                consecutive_skips = 0
             except ValueError:
+                consecutive_skips += 1
                 continue
             batch['trans'] = trans.astype(np.float32)
             yield batch

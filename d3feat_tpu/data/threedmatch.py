@@ -109,16 +109,25 @@ class ThreeDMatchDataset:
         when the split has no pairs, e.g. a missing val pickle)."""
         if not self.pair_keys.get(split):
             return
+        consecutive_skips = 0
         while True:
+            if consecutive_skips > 200:
+                raise RuntimeError(
+                    f'{consecutive_skips} consecutive pair skips on split '
+                    f'{split!r}: every sampled pair violates the size '
+                    f'limits or overflows the static capacities — raise '
+                    f'config.max_points / capacity ratios')
             sampled = self.sample_pair(split, rng)
             if sampled is None:
+                consecutive_skips += 1
                 continue
             anc, pos, corr = sampled
             try:
                 yield make_training_batch(anc, pos, corr, config, rng=rng,
                                           augment=(split == 'train'))
+                consecutive_skips = 0
             except ValueError:
-                continue  # capacity overflow: skip like the size limits
+                consecutive_skips += 1  # capacity overflow: skip
 
     # -- test ----------------------------------------------------------------
     def _prepare_test(self) -> None:

@@ -23,6 +23,13 @@ def main():
     ap.add_argument('--steps', type=int, default=None)
     ap.add_argument('--restore', default=None,
                     help='snapshot dir to resume from')
+    ap.add_argument('--max-points', type=int, default=None,
+                    help='override the stacked-pair point capacity')
+    ap.add_argument('--fdim', type=int, default=None,
+                    help='override first_features_dim (smoke tests)')
+    ap.add_argument('--dp', type=int, default=0,
+                    help='data-parallel over N mesh devices (one fragment '
+                         'pair per device; 0 = single-device loop)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -38,6 +45,10 @@ def main():
     cfg = threedmatch_config()
     if args.steps:
         cfg = cfg.replace(epoch_steps=args.steps)
+    if args.max_points:
+        cfg = cfg.replace(max_points=args.max_points)
+    if args.fdim:
+        cfg = cfg.replace(first_features_dim=args.fdim)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)
@@ -54,6 +65,29 @@ def main():
         state = restore_checkpoint(latest_snapshot(args.restore), state)
 
     from d3feat_tpu.data.loader import prefetch
+    if args.dp:
+        # mesh data parallelism: one fragment pair per device, params
+        # replicated, XLA-inserted gradient all-reduce
+        import jax as _jax
+        from d3feat_tpu.parallel import (make_dp_train_step, make_mesh,
+                                         stack_batches)
+        mesh = make_mesh(args.dp)
+        dp_step = make_dp_train_step(cfg, mesh)
+        it = prefetch(lambda: dataset.train_batches(cfg, rng, 'train'))
+        steps = (args.epochs or cfg.max_epoch) * cfg.epoch_steps
+        for i in range(steps):
+            batches = [next(it) for _ in range(args.dp)]
+            state, metrics = dp_step(state, stack_batches(batches))
+            if i % 100 == 0:
+                print(f's{i:06d} loss={float(metrics["total"]):.4f} '
+                      f'acc={float(metrics["accuracy"]):.3f}', flush=True)
+            if (i + 1) % cfg.epoch_steps == 0:
+                from d3feat_tpu.utils.checkpoint import save_checkpoint
+                save_checkpoint(os.path.join(
+                    save_dir, f'snap-{i // cfg.epoch_steps}'),
+                    _jax.device_get(state))
+        return
+
     trainer = Trainer(cfg, save_dir)
     trainer.train(
         state,
