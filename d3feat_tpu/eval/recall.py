@@ -45,14 +45,45 @@ def load_info(path: str) -> Dict[str, Tuple[int, np.ndarray]]:
 
 def _dcm_to_quat(r: np.ndarray) -> np.ndarray:
     """Aerospace-toolbox dcm2quat convention (as used by
-    mrComputeTransformationError)."""
-    w = 0.5 * np.sqrt(max(1.0 + r[0, 0] + r[1, 1] + r[2, 2], 1e-12))
-    return np.array([
-        w,
-        -(r[2, 1] - r[1, 2]) / (4 * w),
-        -(r[0, 2] - r[2, 0]) / (4 * w),
-        -(r[1, 0] - r[0, 1]) / (4 * w),
-    ])
+    mrComputeTransformationError): quaternion [w, x, y, z] of the DCM,
+    i.e. the conjugate of the rotation-matrix quaternion.
+
+    Full 4-branch Shepperd construction — the w-only branch is
+    numerically garbage for rotations near 180 deg (trace -> -1, w -> 0),
+    exactly the wrong-by-a-lot estimates the recall metric must reject.
+    """
+    m00, m01, m02 = r[0]
+    m10, m11, m12 = r[1]
+    m20, m21, m22 = r[2]
+    tr = m00 + m11 + m22
+    if tr > 0.0:
+        s = 2.0 * np.sqrt(tr + 1.0)
+        w = 0.25 * s
+        x = (m21 - m12) / s
+        y = (m02 - m20) / s
+        z = (m10 - m01) / s
+    elif m00 >= m11 and m00 >= m22:
+        s = 2.0 * np.sqrt(1.0 + m00 - m11 - m22)
+        w = (m21 - m12) / s
+        x = 0.25 * s
+        y = (m01 + m10) / s
+        z = (m02 + m20) / s
+    elif m11 >= m22:
+        s = 2.0 * np.sqrt(1.0 + m11 - m00 - m22)
+        w = (m02 - m20) / s
+        x = (m01 + m10) / s
+        y = 0.25 * s
+        z = (m12 + m21) / s
+    else:
+        s = 2.0 * np.sqrt(1.0 + m22 - m00 - m11)
+        w = (m10 - m01) / s
+        x = (m02 + m20) / s
+        y = (m12 + m21) / s
+        z = 0.25 * s
+    q = np.array([w, -x, -y, -z])  # conjugate: DCM = rotation^T
+    if q[0] < 0:  # MATLAB returns the positive-scalar representative
+        q = -q
+    return q
 
 
 def transformation_error(delta: np.ndarray, info: np.ndarray) -> float:

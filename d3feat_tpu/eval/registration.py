@@ -36,6 +36,24 @@ def apply_transform(points: np.ndarray, trans: np.ndarray) -> np.ndarray:
     return points @ trans[:3, :3].T + trans[:3, 3]
 
 
+def rigid_transform_3d_batch(src: np.ndarray, dst: np.ndarray
+                             ) -> Tuple[np.ndarray, np.ndarray]:
+    """Batched Kabsch over [m, k, 3] sample sets -> (R [m,3,3], t [m,3])."""
+    src_c = src.mean(axis=1, keepdims=True)
+    dst_c = dst.mean(axis=1, keepdims=True)
+    h = np.einsum('mki,mkj->mij', src - src_c, dst - dst_c)
+    u, _, vt = np.linalg.svd(h)
+    v = np.transpose(vt, (0, 2, 1))
+    ut = np.transpose(u, (0, 2, 1))
+    d = np.sign(np.linalg.det(v @ ut))
+    d[d == 0] = 1.0
+    v = v.copy()
+    v[:, :, 2] *= d[:, None]
+    r = v @ ut
+    t = dst_c[:, 0, :] - np.einsum('mij,mj->mi', r, src_c[:, 0, :])
+    return r, t
+
+
 def match_features(src_desc: np.ndarray, dst_desc: np.ndarray,
                    mutual: bool = False) -> np.ndarray:
     """Nearest-neighbor matches in descriptor space -> [M, 2] indices."""
@@ -79,10 +97,14 @@ def ransac_registration(
     best_inliers = 0
     best_t = np.eye(4)
 
-    # vectorized over batches of hypotheses
+    # fully vectorized over batches of hypotheses: batched Kabsch over
+    # every sample surviving the edge checker, then batched residual
+    # scoring in chunks sized to keep the [m, n, 3] residual tensor small
     batch = 512
     iters = 0
     thr2 = distance_threshold ** 2
+    ia, ib = np.triu_indices(n_sample, k=1)
+    score_chunk = max(1, int(4_000_000 // max(n, 1)))
     while iters < max_iters:
         m = min(batch, max_iters - iters)
         iters += m
@@ -90,18 +112,25 @@ def ransac_registration(
         sa = a[samples]                      # [m, 3, 3]
         sb = b[samples]
         # edge-length compatibility checker
-        ia, ib = np.triu_indices(n_sample, k=1)
         ea = np.linalg.norm(sa[:, ia] - sa[:, ib], axis=-1)
         eb = np.linalg.norm(sb[:, ia] - sb[:, ib], axis=-1)
         ratio = np.minimum(ea, eb) / (np.maximum(ea, eb) + 1e-12)
         ok = np.all(ratio > edge_length_ratio, axis=1)
-        for i in np.nonzero(ok)[0]:
-            t = rigid_transform_3d(sa[i], sb[i])
-            d2 = np.sum((apply_transform(a, t) - b) ** 2, axis=1)
-            inl = int(np.sum(d2 < thr2))
-            if inl > best_inliers:
-                best_inliers = inl
-                best_t = t
+        if not np.any(ok):
+            continue
+        rs, ts = rigid_transform_3d_batch(sa[ok], sb[ok])
+        for lo in range(0, len(rs), score_chunk):
+            r_c = rs[lo:lo + score_chunk]
+            t_c = ts[lo:lo + score_chunk]
+            pred = np.einsum('mij,nj->mni', r_c, a) + t_c[:, None, :]
+            inl = np.count_nonzero(
+                np.sum((pred - b) ** 2, axis=-1) < thr2, axis=1)
+            i = int(np.argmax(inl))
+            if inl[i] > best_inliers:
+                best_inliers = int(inl[i])
+                best_t = np.eye(4)
+                best_t[:3, :3] = r_c[i]
+                best_t[:3, 3] = t_c[i]
 
     if best_inliers >= n_sample:
         # refine on inliers (one Kabsch pass, like Open3D's final estimate)

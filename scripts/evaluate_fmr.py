@@ -8,7 +8,7 @@ the layouts are identical).
 
 Usage:
   python scripts/evaluate_fmr.py --dump geometric_registration/D3Feat_tpu \
-      --gt /root/reference/geometric_registration/gt_result \
+      --gt data/gt_result \
       [--num-keypts 250] [--tau1 0.1] [--tau2 0.05]
 """
 
@@ -25,7 +25,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--dump', required=True,
                     help='D3Feat_* directory with descriptors/keypoints/scores')
-    ap.add_argument('--gt', required=True, help='dir with {scene}/gt.log')
+    default_gt = os.path.join(os.path.dirname(__file__), '..', 'data',
+                              'gt_result')
+    ap.add_argument('--gt',
+                    default=default_gt if os.path.isdir(default_gt) else None,
+                    required=not os.path.isdir(default_gt),
+                    help='dir with {scene}/gt.log (default: vendored '
+                         'data/gt_result)')
     ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--tau1', type=float, default=0.10)
     ap.add_argument('--tau2', type=float, default=0.05)

@@ -8,8 +8,12 @@ Reference entry point: `test_3dmatch.py` followed by
 
 Usage:
   python scripts/test_3dmatch.py --data data/3DMatch --snapshot results/Log_X
-                                 [--gt /root/reference/geometric_registration/gt_result]
+                                 [--gt data/gt_result]
                                  [--num-keypts 250] [--cpu]
+
+The 8 scenes' gt.log/gt.info are vendored under data/gt_result (copied
+from the reference's geometric_registration/gt_result fixtures), so the
+evaluation runs standalone.
 """
 
 import argparse
@@ -25,7 +29,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='data/3DMatch')
     ap.add_argument('--snapshot', required=False, default=None)
-    ap.add_argument('--gt', default=None, help='dir with {scene}/gt.log')
+    default_gt = os.path.join(os.path.dirname(__file__), '..', 'data',
+                              'gt_result')
+    ap.add_argument('--gt',
+                    default=default_gt if os.path.isdir(default_gt) else None,
+                    help='dir with {scene}/gt.log (default: vendored '
+                         'data/gt_result)')
     ap.add_argument('--out', default='geometric_registration')
     ap.add_argument('--experiment', default='tpu')
     ap.add_argument('--num-keypts', type=int, default=250)

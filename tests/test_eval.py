@@ -7,7 +7,9 @@ from d3feat_tpu.eval.fmr import (build_correspondence, evaluate_scene_pairs,
                                  inlier_ratio_for_pair, select_top_keypoints)
 from d3feat_tpu.eval.registration import (apply_transform, match_features,
                                           ransac_registration,
-                                          rigid_transform_3d, transform_error)
+                                          rigid_transform_3d,
+                                          rigid_transform_3d_batch,
+                                          transform_error)
 from d3feat_tpu.eval.repeatability import keypoint_repeatability
 from d3feat_tpu.utils.icp import icp_point_to_point
 
@@ -55,6 +57,38 @@ def test_ransac_recovers_transform(rng):
     rte, rre = transform_error(t_est, t_gt)
     assert rte < 0.05 and rre < 1.0, (rte, rre)
     assert fitness > 0.5
+
+
+def test_batched_kabsch_matches_single(rng):
+    m, k = 64, 3
+    src = rng.random((m, k, 3))
+    dst = rng.random((m, k, 3))
+    rs, ts = rigid_transform_3d_batch(src, dst)
+    for i in range(0, m, 7):
+        t = rigid_transform_3d(src[i], dst[i])
+        np.testing.assert_allclose(rs[i], t[:3, :3], atol=1e-9)
+        np.testing.assert_allclose(ts[i], t[:3, 3], atol=1e-9)
+
+
+def test_ransac_throughput_250kpt(rng):
+    """The full 50k-iteration eval workload on a 250-keypoint pair must
+    run in seconds (vectorized scoring), not minutes (Python loop)."""
+    import time
+
+    n = 250
+    src = (rng.random((n, 3)) * 3).astype(np.float32)
+    t_gt = random_transform(rng)
+    dst = apply_transform(src, t_gt).astype(np.float32)
+    desc = rng.standard_normal((n, 16)).astype(np.float32)
+    desc_dst = desc + 0.05 * rng.standard_normal((n, 16)).astype(np.float32)
+    t0 = time.perf_counter()
+    t_est, _, fitness = ransac_registration(
+        src, dst, desc, desc_dst, distance_threshold=0.05,
+        max_iters=50000, seed=0)
+    elapsed = time.perf_counter() - t0
+    rte, rre = transform_error(t_est, t_gt)
+    assert rte < 0.05 and rre < 1.0
+    assert elapsed < 20.0, f'50k RANSAC iters took {elapsed:.1f}s'
 
 
 def test_match_features_mutual(rng):
