@@ -20,9 +20,11 @@ neighbor matrices, as one fused einsum chain that XLA maps onto the MXU:
      by the number of neighbors whose feature-sum is strictly positive
      (clamped to >= 1) — the paper's density-invariance term.
 
-A fused Pallas TPU kernel with identical semantics lives in
-`d3feat_tpu.ops.kpconv_pallas`; this module is the reference path and the
-golden-test oracle.
+This module holds both the float32 oracle (`kpconv`, golden-tested against
+a numpy re-execution of the reference) and the optimized XLA fast path.
+A fully fused Pallas kernel was prototyped and abandoned: Mosaic's
+`tpu.dynamic_gather` is single-vreg only, so an in-VMEM vector row-gather
+is not expressible and the XLA gather path wins (see PERF_NOTES.md).
 """
 
 from __future__ import annotations

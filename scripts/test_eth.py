@@ -3,12 +3,15 @@
 A 3DMatch-trained model is applied to outdoor laser scans with rescaled
 geometry: first_subsampling_dl=0.05, KP_extent=2.0 (`test_eth.py:37-39`),
 i.e. the kernel geometry is stretched to the coarser voxel while the
-trained weights are reused. Dumps the reference output layout; FMR is
-computed by `geometric_registration_eth/evaluate_eth.py` or our
-`d3feat_tpu.eval.fmr` with ETH ground truth.
+trained weights are reused. Dumps the reference output layout, then — when
+per-scene `gt.log` files are present (they ship with the ETH dataset,
+`{data}/{scene}/gt.log`) — computes per-scene and mean FMR exactly as the
+reference's `geometric_registration_eth/evaluate_eth.py:113-177`
+(num_keypts=250, tau1=0.10 m, tau2=0.05).
 
 Usage:
-  python scripts/test_eth.py --data data/ETH --snapshot results/Log_X [--cpu]
+  python scripts/test_eth.py --data data/ETH --snapshot results/Log_X
+                             [--gt data/ETH] [--num-keypts 250] [--cpu]
 """
 
 import argparse
@@ -24,6 +27,11 @@ def main():
     ap.add_argument('--snapshot', default=None)
     ap.add_argument('--out', default='geometric_registration_eth')
     ap.add_argument('--experiment', default='tpu-eth')
+    ap.add_argument('--gt', default=None,
+                    help='dir with {scene}/gt.log (defaults to --data; the '
+                         'ETH download ships gt.log next to the .ply '
+                         'fragments)')
+    ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -58,6 +66,10 @@ def main():
     out_dir = generate_descriptors(extractor, dataset.test_fragments(),
                                    args.out, args.experiment)
     print(f'dumped ETH descriptors under {out_dir}')
+
+    from d3feat_tpu.eval.eth import evaluate_eth_fmr
+    gt_root = args.gt or args.data
+    evaluate_eth_fmr(out_dir, gt_root, num_keypts=args.num_keypts)
 
 
 if __name__ == '__main__':

@@ -156,6 +156,50 @@ def test_log_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(loaded['3_7'], t2, rtol=1e-6)
 
 
+def test_eth_fmr_end_to_end(tmp_path, rng):
+    """Synthetic reference-layout dump + gt.log -> per-scene + mean FMR."""
+    from d3feat_tpu.eval.eth import evaluate_eth_fmr
+
+    scenes = ('gazebo_summer', 'wood_summer')
+    out_dir = tmp_path / 'dump'
+    gt_root = tmp_path / 'eth'
+    n = 300
+    for scene in scenes:
+        base = (rng.random((n, 3)) * 5).astype(np.float32)
+        desc = rng.standard_normal((n, 32)).astype(np.float32)
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        scores = rng.random(n)  # shared: identical top-k across fragments
+        records = []
+        for fid in range(3):
+            if fid == 0:
+                kp, t = base, np.eye(4)
+            else:
+                t = random_transform(rng, angle=0.4, shift=0.5)
+                # dump stores keypoints in the fragment's own frame; the
+                # gt transform maps fragment j onto fragment i
+                kp = apply_transform(base, np.linalg.inv(t)).astype(np.float32)
+                records.append((0, fid, 3, t))
+            for kind, arr in (('descriptors', desc), ('keypoints', kp),
+                              ('scores', scores)):
+                d = out_dir / kind / scene
+                d.mkdir(parents=True, exist_ok=True)
+                np.save(d / f'cloud_bin_{fid}.npy', arr)
+        (gt_root / scene).mkdir(parents=True)
+        write_log(str(gt_root / scene / 'gt.log'), records)
+
+    stats = evaluate_eth_fmr(str(out_dir), str(gt_root), num_keypts=100,
+                             scenes=scenes, verbose=False)
+    assert stats is not None
+    for scene in scenes:
+        assert stats[scene]['recall'] == 1.0
+        assert stats[scene]['num_pairs'] == 2.0
+    assert stats['__mean__']['recall'] == 1.0
+
+    # no gt found -> None
+    assert evaluate_eth_fmr(str(out_dir), str(tmp_path / 'nope'),
+                            scenes=scenes, verbose=False) is None
+
+
 def test_icp_refines_noisy_pose(rng):
     pts = (rng.random((2000, 3)) * np.array([4, 4, 1])).astype(np.float32)
     t_gt = random_transform(rng, angle=0.3, shift=0.5)
