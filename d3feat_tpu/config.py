@@ -82,6 +82,17 @@ class Config:
     batch_norm_momentum: float = 0.98
     modulated: bool = False
 
+    # ---- deformable KPConv (dead code in all shipped reference configs,
+    # SURVEY.md §2.2; implemented for component parity) --------------------
+    deform_version: int = 1               # 1: KPConv offsets; 2: MLP offsets
+    offsets_loss: str = 'permissive'      # 'permissive'|'fitting'|'none'
+                                          # (utils/config.py:150)
+    offsets_decay: float = 1e-2           # (utils/config.py:151)
+    gaussian_decay: float = 1e-3          # kernel_extents reg — no such
+                                          # variable exists in any reference
+                                          # path either; kept for parameters
+                                          # .txt round-trip (config.py:140)
+
     # ---- static-shape (TPU) knobs ------------------------------------------
     # Per-level neighbor-degree caps K_l for conv/pool/upsample index matrices.
     # Defaults calibrated on the real demo fragments with the reference's

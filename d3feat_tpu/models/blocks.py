@@ -22,9 +22,11 @@ Re-designed equivalents of the reference block library
   * weight init: truncated normal, std sqrt(2/fan_out), rounded to 3
     decimals (`network_blocks.py:37-41`, rounding quirk reproduced).
 
-Block registry parity with `get_block_ops` (`network_blocks.py:982-1042`).
-Deformable variants are dead code in all shipped configs (SURVEY.md §2.2)
-and are rejected with a clear error.
+Block registry parity with `get_block_ops` (`network_blocks.py:982-1042`),
+including the deformable bottleneck variants (`DeformableKPConvOp`; dead
+code in all shipped reference configs, implemented for component parity).
+The `inception_deformable*` entries crash in the reference itself
+(called with `()` at `network_blocks.py:1009,1021`) and stay rejected.
 """
 
 from __future__ import annotations
@@ -37,10 +39,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from d3feat_tpu.config import Config
-from d3feat_tpu.ops.kpconv import (closest_pool, index_max_pool,
+from d3feat_tpu.ops.kpconv import (closest_pool, deform_influence_weights,
+                                   deform_sq_distances, index_max_pool,
                                    influence_weights,
-                                   influence_weights_from_rel, kpconv_apply,
-                                   kpconv_ones, lane_pad_table, unary_conv)
+                                   influence_weights_from_rel, kpconv,
+                                   kpconv_apply, kpconv_ones, lane_pad_table,
+                                   unary_conv)
 
 
 def trunc_normal_rounded(std: float):
@@ -234,6 +238,168 @@ class KPConvOp(nn.Module):
         return kpconv_apply(inds, geom, table, w, inv=inv)
 
 
+class DeformableKPConvOp(nn.Module):
+    """Deformable KPConv (reference `KPConv_deformable` v1 and
+    `KPConv_deformable_v2`, `kernels/convolution_ops.py:258-376,509-627`).
+
+    v1: a rigid KPConv with zero-initialized weights + bias predicts a
+    3-vector offset per kernel point (+ optional sigmoid modulations);
+    v2: a pointwise MLP predicts offsets for all kernel points except the
+    center, which stays fixed (modulation of the center is zero — a
+    reference quirk reproduced as-is, `convolution_ops.py:571-576`).
+
+    Offsets are scaled by the layer's KP extent (`convolution_ops.py:361`).
+    Kernel disposition: per-*level* seeded disposition via the shared ctx
+    (same documented deviation as the rigid fast path; the reference draws
+    a fresh random rotation per conv).
+
+    The offset regularization contributions (permissive / fitting,
+    `models/KPFCNN_model.py:239-318`) are computed in-block — where the
+    layer radius and extent are known — masked over real rows, and sown
+    into the 'intermediates' collection as ('offset_loss', scalar sum) +
+    ('offset_count', rows); the trainer folds
+    `offsets_decay * sum(offset_loss)/...` into the total loss.
+    """
+    config: Config
+    in_dim: int
+    out_dim: int
+    layer: int
+    strided: bool = False
+
+    @nn.compact
+    def __call__(self, ctx: BlockCtx, features: jax.Array) -> jax.Array:
+        cfg = self.config
+        l = self.layer
+        p = cfg.num_kernel_points
+        dim = 3
+        extent = ctx.extent(l)
+        kpoints = ctx.kernel_points(l)
+
+        if self.strided:
+            queries, supports = ctx.points(l + 1), ctx.points(l)
+            inds = ctx.pools(l)
+            out_mask = ctx.mask(l + 1)
+        else:
+            queries = supports = ctx.points(l)
+            inds = ctx.neighbors(l)
+            out_mask = ctx.mask(l)
+
+        version = cfg.deform_version
+        modulated = cfg.modulated
+        if version == 1:
+            offset_dim = (dim + 1) * p if modulated else dim * p
+            w0 = self.param('offset_conv_weights', nn.initializers.zeros,
+                            (p, self.in_dim, offset_dim))
+            b0 = self.param('offset_conv_bias', nn.initializers.zeros,
+                            (offset_dim,))
+            # rigid KPConv (incl. D3Feat density norm — KPConv_ops is
+            # reused verbatim for the offsets, `convolution_ops.py:335-343`)
+            feats0 = kpconv(queries, supports, inds, features, kpoints, w0,
+                            extent, cfg.KP_influence,
+                            cfg.convolution_mode) + b0
+            offsets = feats0[:, :dim * p].reshape(-1, p, dim)
+            modulations = (2.0 * jax.nn.sigmoid(feats0[:, dim * p:])
+                           if modulated else None)
+        elif version == 2:
+            if self.strided:
+                # v2's MLP consumes support-level features, but the conv
+                # reads per-QUERY offsets — shape-inconsistent when
+                # Nq != Ns. The reference never instantiates a strided v2
+                # (dead path); reject loudly.
+                raise ValueError('deform_version=2 with a strided block is '
+                                 'shape-inconsistent in the reference too; '
+                                 'use deform_version=1')
+            offset_dim = ((dim + 1) * (p - 1) if modulated
+                          else dim * (p - 1))
+            w0 = self.param('offset_mlp_weights', nn.initializers.zeros,
+                            (self.in_dim, offset_dim))
+            b0 = self.param('offset_mlp_bias', nn.initializers.zeros,
+                            (offset_dim,))
+            feats0 = unary_conv(features, w0) + b0
+            off = feats0[:, :dim * (p - 1)].reshape(-1, p - 1, dim)
+            # center kernel point fixed (`convolution_ops.py:568-585`)
+            offsets = jnp.concatenate(
+                [jnp.zeros_like(off[:, :1, :]), off], axis=1)
+            if modulated:
+                mod = 2.0 * jax.nn.sigmoid(feats0[:, dim * (p - 1):])
+                modulations = jnp.concatenate(
+                    [jnp.zeros_like(mod[:, :1]), mod], axis=1)
+            else:
+                modulations = None
+        else:
+            raise ValueError(f'deform_version must be 1 or 2, '
+                             f'got {version}')
+        offsets = offsets * extent                       # `:361`
+
+        deformed_kp = kpoints[None, :, :] + offsets      # [Nq, P, 3]
+        sq_dist = deform_sq_distances(queries, supports, inds, kpoints,
+                                      offsets)           # [Nq, K, P]
+        weights = deform_influence_weights(sq_dist, extent,
+                                           cfg.KP_influence,
+                                           cfg.convolution_mode)
+        if modulations is not None:
+            # reference applies modulations to [N, P, C] after the k-sum
+            # (`convolution_ops.py:485-487`); a per-(n,p) scalar commutes
+            # with the sum over k, so fold it into the weights.
+            weights = weights * modulations[:, :, None]
+
+        w = self.param(
+            'weights',
+            trunc_normal_rounded(float(np.sqrt(2.0 / self.out_dim))),
+            (p, self.in_dim, self.out_dim))
+        feats_ext = jnp.concatenate(
+            [features, jnp.zeros((1, features.shape[1]),
+                                 dtype=features.dtype)], axis=0)
+        neigh_feats = feats_ext[inds]
+        weighted = jnp.einsum('npk,nkc->npc', weights, neigh_feats,
+                              preferred_element_type=jnp.float32)
+        out = jnp.einsum('npc,pco->no', weighted, w,
+                         preferred_element_type=jnp.float32)
+        # NO density normalization (`convolution_ops.py:495-507`).
+
+        self._sow_offset_loss(ctx, deformed_kp, sq_dist, out_mask, extent)
+        return out
+
+    def _sow_offset_loss(self, ctx, deformed_kp, sq_dist, mask, extent):
+        """Offset regularization (`models/KPFCNN_model.py:239-318`),
+        masked to real rows (the reference has no pad rows)."""
+        cfg = self.config
+        mode = cfg.offsets_loss
+        if mode == 'none':
+            return
+        m = mask.astype(jnp.float32)
+        count = jnp.maximum(jnp.sum(m), 1.0)
+        if mode == 'permissive':
+            # zero inside the conv radius, linear outside (`:239-260`)
+            conv_radius = (cfg.first_subsampling_dl * cfg.density_parameter
+                           * 2 ** self.layer)
+            kp_norm = jnp.sqrt(jnp.maximum(
+                jnp.sum(jnp.square(deformed_kp), axis=2), 1e-20))
+            outside = jnp.maximum(0.0, kp_norm / conv_radius - 1.0)
+            loss = jnp.sum(jnp.mean(outside, axis=1) * m) / count
+        elif mode == 'fitting':
+            # squared distance of each deformed KP to its closest real
+            # input point, normalized by extent^2 (`:263-287`). Shadow
+            # slots sit at ~1000 so they never win the min, matching the
+            # reference's shadow-inclusive reduce_min.
+            kp_min_d2 = jnp.min(sq_dist, axis=1) / extent ** 2  # [Nq, P]
+            loss = jnp.sum(jnp.mean(kp_min_d2, axis=1) * m) / count
+            # repulsion between deformed kernel points (`:289-303`)
+            kp_locs = deformed_kp / extent
+            diff = (kp_locs[:, :, None, :]
+                    - jax.lax.stop_gradient(kp_locs[:, None, :, :]))
+            dist = jnp.sqrt(1e-10 + jnp.sum(jnp.square(diff), axis=3))
+            p = kp_locs.shape[1]
+            off_diag = 1.0 - jnp.eye(p, dtype=dist.dtype)
+            rep = jnp.square(jnp.maximum(0.0, 1.5 - dist)) * off_diag
+            rep = jnp.sum(rep, axis=(1, 2))
+            loss = loss + jnp.sum(rep * m) / count
+        else:
+            raise ValueError(f'unknown offsets_loss: {mode}')
+        self.sow('intermediates', 'offset_loss', loss,
+                 reduce_fn=lambda a, b: a + b, init_fn=lambda: 0.0)
+
+
 class Unary(nn.Module):
     """1x1 conv + BN + leaky relu (`network_blocks.py:207-219`)."""
     config: Config
@@ -292,11 +458,15 @@ class SimpleBlock(nn.Module):
 class ResnetBottleneck(nn.Module):
     """resnetb / resnetb_strided (`network_blocks.py:320-368,561-612`):
     unary(fdim/2) -> KPConv(fdim/2) -> unary(2*fdim) + shortcut. Strided:
-    the KPConv pools onto the next level; shortcut is index max-pool."""
+    the KPConv pools onto the next level; shortcut is index max-pool.
+    ``deformable`` swaps conv2 for a deformable KPConv
+    (resnetb_deformable / resnetb_deformable_strided,
+    `network_blocks.py:424-471,672-724`)."""
     config: Config
     fdim: int
     layer: int
     strided: bool = False
+    deformable: bool = False
 
     @nn.compact
     def __call__(self, ctx: BlockCtx, x, training):
@@ -305,8 +475,13 @@ class ResnetBottleneck(nn.Module):
         out_mask = ctx.mask(l + 1) if self.strided else in_mask
 
         y = Unary(cfg, fdim // 2, name='conv1')(x, in_mask, training)
-        y = KPConvOp(cfg, fdim // 2, fdim // 2, l, strided=self.strided,
-                     name='conv2')(ctx, y)
+        if self.deformable:
+            y = DeformableKPConvOp(cfg, fdim // 2, fdim // 2, l,
+                                   strided=self.strided, name='conv2')(
+                ctx, y)
+        else:
+            y = KPConvOp(cfg, fdim // 2, fdim // 2, l,
+                         strided=self.strided, name='conv2')(ctx, y)
         y = MaskedBatchNorm(cfg.batch_norm_momentum, name='conv2_bn')(
             y, out_mask, training)
         y = leaky_relu(y)

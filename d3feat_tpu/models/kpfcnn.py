@@ -186,6 +186,13 @@ class KPFCNN(nn.Module):
         if block == 'resnetb_strided' or block == 'resnetb_light_strided':
             return ResnetBottleneck(cfg, fdim, layer, strided=True,
                                     name=name)(ctx, features, training)
+        if block == 'resnetb_deformable':
+            return ResnetBottleneck(cfg, fdim, layer, deformable=True,
+                                    name=name)(ctx, features, training)
+        if block == 'resnetb_deformable_strided':
+            return ResnetBottleneck(cfg, fdim, layer, strided=True,
+                                    deformable=True, name=name)(
+                ctx, features, training)
         if block == 'unary':
             return Unary(cfg, fdim, name=name)(
                 features, ctx.mask(layer), training)
@@ -198,10 +205,11 @@ class KPFCNN(nn.Module):
         if block == 'global_average':
             from d3feat_tpu.models.blocks import global_average
             return global_average(ctx, features, layer)
-        if 'deformable' in block or 'inception' in block:
+        if 'inception' in block:
             raise NotImplementedError(
-                f'{block}: deformable KPConv is dead code in every shipped '
-                'reference config (SURVEY.md §2.2) and is not implemented')
+                f'{block}: the reference registry calls these entries with '
+                '`()` and would crash (`models/network_blocks.py:1009,'
+                '1021`) — dead code with no working semantics to match')
         raise ValueError(f'unknown block name: {block}')
 
 
@@ -239,17 +247,25 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     # local saliency alpha (D3Feat.py:92-98); shadow row is zeros.
     # Gather from a 128-lane zero-padded table (fast-path layout); the
     # padded lanes are zero so channel sums over L equal sums over D.
+    #
+    # The neighbor mean is a pure gather+sum — XLA fuses the row gather
+    # into the K-axis reduction without materializing the [N0, K, L] block
+    # (measured 8.2 ms vs 14.3 ms for the einsum form at 3.6M rows,
+    # scripts/microbench_gather.py). To keep that fusion, the denominator
+    # comes from the shadow mask instead of the gathered channel sums: the
+    # reference's `count_nonzero(reduce_sum(neighbor_features, -1))`
+    # (D3Feat.py:96-98) counts exactly the non-shadow neighbors unless a
+    # real point's normalized feature row sums to exactly 0.0 — a
+    # measure-zero event the mask count intentionally ignores.
     from d3feat_tpu.ops.gather import maybe_gather_rows
     from d3feat_tpu.ops.kpconv import lane_pad_table
     table = lane_pad_table(f, gather_dtype)
-    neigh_f = maybe_gather_rows(table, neighbors0, inv
-                                ).astype(jnp.float32)    # [N0, K, L]
-    neigh_sum = jnp.sum(neigh_f, axis=-1)                # [N0, K]
-    # reference uses count_nonzero here (not >0 as in the conv op)
-    neigh_num = jnp.sum((neigh_sum != 0.0).astype(f.dtype), axis=-1,
+    neigh_f = maybe_gather_rows(table, neighbors0, inv)  # [N0, K, L]
+    neigh_sum = jnp.sum(neigh_f.astype(jnp.float32), axis=1)   # [N0, L]
+    neigh_num = jnp.sum((neighbors0 < n0).astype(jnp.float32), axis=-1,
                         keepdims=True)
     neigh_num = jnp.maximum(neigh_num, 1.0)
-    mean_f = jnp.sum(neigh_f, axis=1)[:, :d] / neigh_num
+    mean_f = neigh_sum[:, :d] / neigh_num
     alpha = jax.nn.softplus(f - mean_f)
 
     # channel-max ratio beta (D3Feat.py:100-102)

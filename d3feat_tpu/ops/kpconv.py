@@ -351,3 +351,121 @@ def closest_pool(features: jax.Array, inds: jax.Array,
     if gather_dtype is not None and gather_dtype != features.dtype:
         feats_ext = feats_ext.astype(gather_dtype)
     return feats_ext[inds[:, 0]].astype(features.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Deformable KPConv (reference `KPConv_deform_ops`,
+# `kernels/convolution_ops.py:379-507`).
+#
+# TPU-first re-design: the reference compacts in-range neighbors with a
+# `top_k` re-gather whose width (`new_max_neighb`) is data-dependent — a
+# dynamic shape XLA cannot compile. The compaction is purely a compute
+# saver: every neighbor it drops contributes exactly zero to the output
+# (linear/constant influence is zero beyond the extent; for gaussian the
+# reference re-points dropped neighbors at the zero shadow feature row).
+# The static-shape equivalent below therefore keeps the full [N, K] slots
+# and zeroes the influence weights of (a) neighbors out of range of every
+# deformed kernel point and (b) shadow slots — value-identical output for
+# all three influence modes (golden-tested against a numpy re-execution of
+# the reference graph INCLUDING its top_k compaction).
+# ---------------------------------------------------------------------------
+
+
+def deform_sq_distances(
+    query_points: jax.Array,     # [Nq, 3]
+    support_points: jax.Array,   # [Ns, 3]
+    neighbor_inds: jax.Array,    # [Nq, K], shadow == Ns
+    kernel_points: jax.Array,    # [P, 3]
+    offsets: jax.Array,          # [Nq, P, 3]
+) -> jax.Array:
+    """Squared distances [Nq, K, P] from each neighbor to each *deformed*
+    kernel point (`convolution_ops.py:414-436`). The shadow support row
+    sits at 1000 (NOT 1e6 — deform_ops uses `ones_like * 1000`,
+    `convolution_ops.py:415`), far outside any extent."""
+    supports_ext = jnp.concatenate(
+        [support_points, jnp.full((1, support_points.shape[1]), 1000.0,
+                                  dtype=support_points.dtype)], axis=0)
+    neigh_xyz = supports_ext[neighbor_inds]                    # [Nq, K, 3]
+    rel = neigh_xyz - query_points[:, None, :]                 # [Nq, K, 3]
+    deformed = kernel_points[None, :, :] + offsets             # [Nq, P, 3]
+    # expanded form: |rel|^2 - 2 rel.dkp + |dkp|^2 (avoids [Nq,K,P,3]);
+    # f32-exact contraction for the same reason as the rigid path.
+    sq_rel = jnp.sum(rel * rel, axis=-1)                       # [Nq, K]
+    cross = jnp.einsum('nkd,npd->nkp', rel, deformed,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+    sq_dkp = jnp.sum(deformed * deformed, axis=-1)             # [Nq, P]
+    return jnp.maximum(
+        sq_rel[:, :, None] - 2.0 * cross + sq_dkp[:, None, :], 0.0)
+
+
+def deform_influence_weights(
+    sq_dist: jax.Array,          # [Nq, K, P]
+    kp_extent: float,
+    kp_influence: str = 'linear',
+    aggregation_mode: str = 'sum',
+) -> jax.Array:
+    """Influence weights [Nq, P, K] with the reference's in-range drop.
+
+    Notes vs the rigid path: the deformable linear influence divides by
+    ``kp_extent`` — not 2*kp_extent (`convolution_ops.py:463-466` vs
+    `:216-219`) — and neighbors out of range of EVERY deformed kernel
+    point are dropped entirely (`:437-455`), which only matters for the
+    gaussian influence (linear/constant are already zero out there)."""
+    p = sq_dist.shape[-1]
+    if kp_influence == 'constant':
+        weights = (sq_dist < kp_extent ** 2).astype(jnp.float32)
+    elif kp_influence == 'linear':
+        weights = jnp.maximum(
+            1.0 - jnp.sqrt(sq_dist + 1e-10) / kp_extent, 0.0)
+    elif kp_influence == 'gaussian':
+        sigma = kp_extent * 0.3
+        weights = jnp.exp(-sq_dist / (2.0 * sigma * sigma + 1e-9))
+    else:
+        raise ValueError(f'unknown KP_influence: {kp_influence}')
+
+    if aggregation_mode == 'closest':
+        nearest = jnp.argmin(sq_dist, axis=2)                  # [Nq, K]
+        weights = weights * jax.nn.one_hot(nearest, p,
+                                           dtype=weights.dtype)
+    elif aggregation_mode != 'sum':
+        raise ValueError(f'unknown aggregation mode: {aggregation_mode}')
+
+    in_range = jnp.any(sq_dist < kp_extent ** 2, axis=-1)      # [Nq, K]
+    weights = weights * in_range[:, :, None].astype(weights.dtype)
+    return jnp.transpose(weights, (0, 2, 1))                   # [Nq, P, K]
+
+
+def kpconv_deform(
+    query_points: jax.Array,     # [Nq, 3]
+    support_points: jax.Array,   # [Ns, 3]
+    neighbor_inds: jax.Array,    # [Nq, K], shadow == Ns
+    features: jax.Array,         # [Ns, C_in]
+    kernel_points: jax.Array,    # [P, 3]
+    offsets: jax.Array,          # [Nq, P, 3]
+    modulations: Optional[jax.Array],  # [Nq, P] or None
+    kernel_weights: jax.Array,   # [P, C_in, C_out]
+    kp_extent: float,
+    kp_influence: str = 'linear',
+    aggregation_mode: str = 'sum',
+) -> jax.Array:
+    """Deformable KPConv (`convolution_ops.py:379-507`), static shapes.
+
+    Returns [Nq, C_out] float32. NOTE: unlike the rigid `kpconv`, the
+    reference applies NO density normalization here (`:495-507`).
+    """
+    sq_dist = deform_sq_distances(query_points, support_points,
+                                  neighbor_inds, kernel_points, offsets)
+    weights = deform_influence_weights(sq_dist, kp_extent, kp_influence,
+                                       aggregation_mode)       # [Nq, P, K]
+    if modulations is not None:
+        weights = weights * modulations[:, :, None]
+
+    feats_ext = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[1]),
+                             dtype=features.dtype)], axis=0)
+    neigh_feats = feats_ext[neighbor_inds]                     # [Nq, K, C]
+    weighted = jnp.einsum('npk,nkc->npc', weights, neigh_feats,
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum('npc,pco->no', weighted, kernel_weights,
+                      preferred_element_type=jnp.float32)

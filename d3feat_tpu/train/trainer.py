@@ -13,9 +13,15 @@ Optimizer parity with `utils/trainer.py:116-156` and
   * L2 weight regularization weights_decay * sum(||w||^2 / 2) over conv and
     unary 'weights' params only (`models/KPFCNN_model.py:188-191`).
 
-The offset-gradient x0.1 scaling of the reference (`utils/trainer.py:
-130-142`) applies only to deformable KPConv offsets — dead code in every
-shipped config — and is intentionally not implemented.
+Deformable KPConv training parity (`utils/trainer.py:130-142`,
+`models/KPFCNN_model.py:239-318`): gradients of offset-predictor params
+(path contains 'offset_conv' / 'offset_mlp') are scaled x0.1 *before*
+clipping, and the offset regularization sown by `DeformableKPConvOp`
+is added as offsets_decay * sum(offset_loss). The reference's scaling
+loop appends `offset_conv` grads twice (once scaled, once not — the
+`if`/`if/else` bug at `utils/trainer.py:133-139`); we implement the clean
+x0.1 the code obviously intends. Both paths are dead code in every
+shipped reference config.
 """
 
 from __future__ import annotations
@@ -64,14 +70,40 @@ def clip_by_per_variable_norm(max_norm: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def scale_offset_grads(factor: float) -> optax.GradientTransformation:
+    """x0.1 on deformable offset-predictor grads, applied before the clip
+    (`utils/trainer.py:130-142`; clean version of the reference's buggy
+    double-append loop)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        flat = jax.tree_util.tree_flatten_with_path(updates)
+        scaled = []
+        for path, g in flat[0]:
+            names = ''.join(str(getattr(k, 'key', getattr(k, 'name', '')))
+                            for k in path)
+            if 'offset_conv' in names or 'offset_mlp' in names:
+                g = factor * g
+            scaled.append(g)
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(updates), scaled), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(config: Config) -> optax.GradientTransformation:
-    """clip(100) -> momentum(0.98) -> -lr(epoch) schedule."""
+    """offset-scale(0.1) -> clip(100) -> momentum(0.98) -> -lr(epoch)."""
 
     def lr_schedule(step):
         epoch = step // config.epoch_steps
         return config.learning_rate * jnp.power(config.lr_decay, epoch)
 
     return optax.chain(
+        scale_offset_grads(0.1),
         clip_by_per_variable_norm(config.grad_clip_norm),
         optax.trace(decay=config.momentum, nesterov=False),
         optax.scale_by_learning_rate(lr_schedule),
@@ -113,13 +145,15 @@ def make_train_step(config: Config) -> Callable:
     """
     model = KPFCNN(config)
     tx = make_optimizer(config)
+    has_deform = any('deformable' in b for b in config.architecture)
+    mutable = (['batch_stats', 'intermediates'] if has_deform
+               else ['batch_stats'])
 
     def loss_fn(params, batch_stats, kpoints, batch):
         variables = {'params': params, 'batch_stats': batch_stats,
                      'kpoints': kpoints}
         (desc, scores), mutated = model.apply(
-            variables, batch['pyramid'], training=True,
-            mutable=['batch_stats'])
+            variables, batch['pyramid'], training=True, mutable=mutable)
         anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
         losses = d3feat_loss(
             desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
@@ -133,6 +167,14 @@ def make_train_step(config: Config) -> Callable:
             loss_type=config.loss_type)
         reg = config.weights_decay * weight_l2(params)
         total = losses['loss'] + reg
+        if has_deform and config.offsets_loss != 'none':
+            # offset regularization sown by DeformableKPConvOp
+            # (`models/KPFCNN_model.py:239-318`); each leaf is a scalar.
+            off = sum(jax.tree_util.tree_leaves(
+                mutated.get('intermediates', {})))
+            off = config.offsets_decay * off
+            losses['offset_loss'] = off
+            total = total + off
         losses['reg_loss'] = reg
         losses['total'] = total
         return total, (losses, mutated['batch_stats'])

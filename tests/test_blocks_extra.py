@@ -38,6 +38,7 @@ def run_forward(cfg, rng):
     return desc, score
 
 
+@pytest.mark.slow
 def test_vgg_block(rng):
     cfg = cfg_with(['vgg', 'resnetb_strided', 'resnetb',
                     'nearest_upsample', 'unary', 'last_unary'])

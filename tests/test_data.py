@@ -106,6 +106,7 @@ def test_calibrate_produces_valid_knobs(rng):
     assert knobs['max_points'] >= 2 * 1500
 
 
+@pytest.mark.slow
 def test_descriptor_dump_layout(tmp_path, rng):
     """generate_descriptors writes the reference tester's exact layout
     (utils/tester.py:177-233), score-ascending."""

@@ -6,6 +6,7 @@ import numpy as np
 from d3feat_tpu.config import threedmatch_config
 from d3feat_tpu.data.batching import make_training_batch
 from d3feat_tpu.models import KPFCNN, init_kpfcnn
+import pytest
 
 
 def tiny_cfg():
@@ -16,6 +17,7 @@ def tiny_cfg():
         compute_dtype='float32')
 
 
+@pytest.mark.slow
 def test_seeded_init_is_deterministic():
     cfg = tiny_cfg()
     rng = np.random.default_rng(0)
@@ -34,6 +36,7 @@ def test_seeded_init_is_deterministic():
         np.asarray(v3['kpoints']['level0']))
 
 
+@pytest.mark.slow
 def test_seeded_batch_and_forward_deterministic():
     cfg = tiny_cfg()
     base = np.random.default_rng(0).random((150, 3)).astype(np.float32) * 2

@@ -66,6 +66,7 @@ def test_gather_rows_grad_matches_autodiff(rng):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_step_grads_match_with_inverse(rng):
     """Full train-step gradients must be identical (up to float noise) with
     and without the inverse-gather backward."""

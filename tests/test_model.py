@@ -71,6 +71,7 @@ def test_pyramid_batch_isolation(rng):
         assert np.all(((rows_b >= n_a) & (rows_b < n_tot)) | (rows_b == cap))
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_finite(rng):
     cfg = tiny_config()
     pyr = two_cloud_pyramid(rng, cfg)
@@ -150,6 +151,7 @@ def test_detection_scores_oracle(rng):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_param_count_flagship():
     """Flagship config has the reference's ~14M params (SURVEY.md §2.9)."""
     cfg = threedmatch_config(max_points=2048, size_multiple=64,
@@ -161,9 +163,12 @@ def test_param_count_flagship():
     assert 10e6 < n_params < 20e6, n_params
 
 
-def test_deformable_blocks_rejected(rng):
+def test_inception_blocks_rejected(rng):
+    """inception_deformable* crashes in the reference registry itself
+    (`network_blocks.py:1009,1021`); we reject it loudly. Working
+    deformable blocks are covered in tests/test_deform.py."""
     cfg = tiny_config(architecture=(
-        'simple', 'resnetb_deformable', 'resnetb_strided',
+        'simple', 'inception_deformable', 'resnetb_strided',
         'nearest_upsample', 'last_unary'))
     pyr = two_cloud_pyramid(rng, cfg)
     with pytest.raises(NotImplementedError):

@@ -31,6 +31,7 @@ def test_mesh_has_8_devices():
     assert mesh.devices.shape == (8,)
 
 
+@pytest.mark.slow
 def test_dp_step_runs_and_matches_singles(rng):
     """DP loss over 8 pairs == mean of 8 single-pair losses."""
     cfg = tiny_cfg()
@@ -62,6 +63,7 @@ def test_dp_step_runs_and_matches_singles(rng):
     assert moved
 
 
+@pytest.mark.slow
 def test_dp_grads_replicated(rng):
     """After a DP step, params stay replicated (identical on all devices)."""
     cfg = tiny_cfg()

@@ -15,6 +15,8 @@ from d3feat_tpu.train.trainer import (clip_by_per_variable_norm,
                                       create_train_state, make_eval_step,
                                       make_forward, make_train_step,
                                       weight_l2)
+import pytest
+
 from d3feat_tpu.utils.checkpoint import (latest_snapshot, restore_checkpoint,
                                          save_checkpoint)
 
@@ -45,6 +47,7 @@ def synthetic_pair(rng, n=300):
     return anc, pos, corr
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss(rng):
     cfg = tiny_cfg()
     anc, pos, corr = synthetic_pair(rng)
@@ -65,6 +68,7 @@ def test_train_step_decreases_loss(rng):
     assert 0.0 <= float(m['accuracy']) <= 1.0
 
 
+@pytest.mark.slow
 def test_batch_stats_update(rng):
     cfg = tiny_cfg()
     anc, pos, corr = synthetic_pair(rng)
@@ -79,6 +83,7 @@ def test_batch_stats_update(rng):
     assert changed
 
 
+@pytest.mark.slow
 def test_eval_step_and_forward(rng):
     cfg = tiny_cfg()
     anc, pos, corr = synthetic_pair(rng)
@@ -132,6 +137,7 @@ def test_weight_l2_selects_weights_only():
     assert float(weight_l2(params)) == 2.0  # 0.5 * 4 ones
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(rng, tmp_path):
     cfg = tiny_cfg()
     anc, pos, corr = synthetic_pair(rng)

@@ -34,6 +34,7 @@ def test_device_timer_records():
     assert len(out) == 1 and out[0] >= 0
 
 
+@pytest.mark.slow
 def test_nan_debug_dump(tmp_path, rng):
     """Trainer with debug_nan dumps a report and raises on non-finite loss."""
     from d3feat_tpu.config import threedmatch_config

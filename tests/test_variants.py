@@ -35,6 +35,7 @@ def one_batch(rng, cfg, n=150):
     dict(KP_influence='constant'),
     dict(det_loss_weight=0.0),
 ])
+@pytest.mark.slow
 def test_variant_train_step(rng, variant):
     cfg = tiny_cfg(**variant)
     batch = one_batch(rng, cfg)
@@ -67,6 +68,7 @@ def test_eth_adapter_and_config(tmp_path, rng):
     assert cfg.KP_extent == 2.0
 
 
+@pytest.mark.slow
 def test_extractor_bucketing_and_retry(rng):
     from d3feat_tpu.runtime.tester import DescriptorExtractor, _bucket
     assert _bucket(100, 64) == 128
