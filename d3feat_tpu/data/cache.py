@@ -1,0 +1,156 @@
+"""Cached-pyramid training: build each pair's pyramid once, re-augment
+per step on the device.
+
+The reference rebuilds the full multiscale pyramid (C++ subsampling +
+radius searches) for every training step because it augments the points
+first (`datasets/ThreeDMatch.py:266-273` -> `tf_descriptor_input`). On the
+1-core training host that costs ~140 ms/step against a ~50 ms device step —
+the input pipeline starves the TPU.
+
+This module exploits two facts to move augmentation AFTER the pyramid:
+
+  * **Rotation commutes with the radius search.** Distances are rotation-
+    invariant, so the neighbor/pool/upsample index matrices of a rotated
+    cloud equal those of the unrotated cloud; only the relative vectors
+    rotate: rel' = rel @ R. For the constant-ones-input network
+    (`datasets/ThreeDMatch.py:316`) the forward depends on geometry ONLY
+    through rel (host_geometry mode), so rotating rel on device is exactly
+    equivalent to rotating the cloud on the host.
+  * **Noise is tiny.** The reference jitters points by U[0, noise) per
+    coordinate before the search (noise = 0.005 m vs radius 0.075 m); its
+    effect on rel is the difference of two jitters (triangular on
+    (-noise, noise)), applied on device. Its effect on which points fall
+    inside the radius / voxel-grid barycenters is not reproduced.
+
+Documented deviations from the reference's rotate-then-build order:
+  * the voxel-grid subsampling pattern is the unrotated pair's (the
+    reference re-voxelizes under each random rotation — here each pair
+    always has the same pyramid *structure*; rel geometry still varies);
+  * boundary neighbors that the jitter would push in/out of the radius
+    stay fixed.
+
+Per-step host work drops to correspondence sampling + dict assembly
+(~1 ms); the TPU sees a fresh rotation + jitter every step via the
+'aug_rot' [B+1, 3, 3] and 'aug_key' entries consumed by
+`models.blocks.BlockCtx` / `ops.kpconv.influence_weights_from_rel`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.data.augment import random_rotate
+from d3feat_tpu.data.batching import make_training_batch
+
+
+class PairPyramidCache:
+    """RAM cache of unaugmented training batches with per-step device
+    re-augmentation."""
+
+    def __init__(self, config: Config):
+        if (config.augment_scale_min != 1.0
+                or config.augment_scale_max != 1.0):
+            raise ValueError(
+                'cached pyramids cannot replay scale augmentation (scale '
+                'changes which points fall inside the fixed search radii); '
+                'use the rebuild-per-step pipeline for KITTI-style configs')
+        if not config.host_geometry:
+            raise ValueError('cached pyramids require host_geometry=True '
+                             '(augmentation rides the rel vectors)')
+        self.config = config
+        self._pairs: List[Dict] = []
+
+    def __len__(self) -> int:
+        return len(self._pairs)
+
+    def add_pair(self, anc_points: np.ndarray, pos_points: np.ndarray,
+                 correspondences: np.ndarray) -> None:
+        """Build and cache the unaugmented padded batch for one pair."""
+        base = make_training_batch(anc_points, pos_points,
+                                   np.zeros((0, 2), np.int64),
+                                   self.config, augment=False)
+        self._pairs.append({
+            'pyramid': base['pyramid'],
+            'anc_points': np.asarray(anc_points, np.float32),
+            'n_anc': len(anc_points),
+            'corr': np.asarray(correspondences, np.int64),
+        })
+
+    def sample_batch(self, rng: np.random.Generator,
+                     augment: bool = True) -> Dict:
+        """One training batch: cached pyramid + fresh correspondence sample
+        + fresh device-side augmentation state."""
+        cfg = self.config
+        pair = self._pairs[int(rng.integers(len(self._pairs)))]
+        m = cfg.keypts_num
+        corr = pair['corr']
+        n_corr = len(corr)
+        anc_inds = np.zeros(m, np.int32)
+        pos_inds = np.zeros(m, np.int32)
+        valid = np.zeros(m, bool)
+        if n_corr > 0:
+            sel = rng.integers(0, n_corr, size=m)
+            picked = corr[sel]
+            anc_inds[:] = picked[:, 0]
+            pos_inds[:] = picked[:, 1] + pair['n_anc']
+            valid[:] = True
+        kp = pair['anc_points'][anc_inds]
+        keypts_dists = np.sqrt(
+            np.sum((kp[:, None] - kp[None, :]) ** 2, axis=-1) + 1e-12
+        ).astype(np.float32)
+
+        pyramid = dict(pair['pyramid'])
+        if augment:
+            rots = []
+            for _ in range(2):  # independent per-cloud rotations
+                _, r = random_rotate(
+                    np.zeros((1, 3), np.float32), rng,
+                    1 if cfg.augment_rotation else 0)
+                rots.append(r)
+            rots.append(np.eye(3, dtype=np.float32))  # pad rows
+            pyramid['aug_rot'] = np.stack(rots).astype(np.float32)
+            pyramid['aug_key'] = rng.integers(
+                0, 2 ** 32, size=2, dtype=np.uint32)
+        return {
+            'pyramid': pyramid,
+            'anc_inds': anc_inds,
+            'pos_inds': pos_inds,
+            'corr_valid': valid,
+            'keypts_dists': keypts_dists,
+        }
+
+    def train_batches(self, rng: np.random.Generator,
+                      augment: bool = True) -> Iterator[Dict]:
+        while True:
+            yield self.sample_batch(rng, augment=augment)
+
+
+def build_cache_from_dataset(dataset, split: str, config: Config,
+                             max_pairs: Optional[int] = None,
+                             rng: Optional[np.random.Generator] = None,
+                             ) -> PairPyramidCache:
+    """Fill a cache from a ThreeDMatchDataset-style adapter (same size
+    limits as its per-step sampler)."""
+    from d3feat_tpu.data.threedmatch import (MAX_TRAIN_POINTS,
+                                             MIN_TRAIN_POINTS)
+    cache = PairPyramidCache(config)
+    keys = list(dataset.pair_keys[split])
+    if rng is not None:
+        rng.shuffle(keys)
+    for key in keys:
+        if max_pairs is not None and len(cache) >= max_pairs:
+            break
+        anc_id, pos_id = key.split('@')
+        anc = dataset.points[split][anc_id]
+        pos = dataset.points[split][pos_id]
+        if not (MIN_TRAIN_POINTS <= len(anc) <= MAX_TRAIN_POINTS
+                and MIN_TRAIN_POINTS <= len(pos) <= MAX_TRAIN_POINTS):
+            continue
+        try:
+            cache.add_pair(anc, pos, dataset.corr[split][key])
+        except ValueError:
+            continue  # exceeds static capacities, same as a skip
+    return cache

@@ -45,9 +45,13 @@ class ThreeDMatchDataset:
     """Training/val pickles + official test fragments."""
 
     def __init__(self, root: str, voxel_size: float = 0.03,
-                 load_test: bool = False):
+                 load_test: bool = False,
+                 scenes: Optional[Tuple[str, ...]] = None):
         self.root = root
         self.voxel_size = voxel_size
+        # test-scene override (synthetic corpora, subsets); defaults to
+        # the official 8 scenes (ThreeDMatch.py:326-340)
+        self.scenes = tuple(scenes) if scenes else TEST_SCENES
         self.points: Dict[str, Dict[str, np.ndarray]] = {}
         self.corr: Dict[str, Dict[str, np.ndarray]] = {}
         self.pair_keys: Dict[str, List[str]] = {}
@@ -133,7 +137,7 @@ class ThreeDMatchDataset:
     def _prepare_test(self) -> None:
         """Official test fragments, voxel-downsampled
         (`ThreeDMatch.py:326-368`)."""
-        for scene in TEST_SCENES:
+        for scene in self.scenes:
             scene_dir = os.path.join(self.root, 'fragments', scene)
             if not os.path.isdir(scene_dir):
                 raise FileNotFoundError(f'missing test scene {scene_dir}')

@@ -114,6 +114,7 @@ class BlockCtx:
         self.kernel_points = kernel_points  # level -> [P, 3]
         self._conv_w: Dict[int, jax.Array] = {}
         self._pool_w: Dict[int, jax.Array] = {}
+        self._row_rot_cache: Dict[int, jax.Array] = {}
 
     # raw pyramid accessors ---------------------------------------------------
     def points(self, l):
@@ -143,6 +144,28 @@ class BlockCtx:
         return (jnp.bfloat16 if self.config.compute_dtype == 'bfloat16'
                 else jnp.float32)
 
+    # on-device augmentation (cached-pyramid training, data/cache.py) ---------
+    def _row_rot(self, l: int):
+        """Per-row [N_l, 3, 3] rotation from the batch's per-cloud
+        'aug_rot' [B+1, 3, 3] (row B = identity for pad rows), or None."""
+        rots = self.pyramid.get('aug_rot')
+        if rots is None:
+            return None
+        if l not in self._row_rot_cache:
+            lengths = self.pyramid['lengths'][l]
+            b = lengths.shape[0]
+            cap = self.points(l).shape[0]
+            bounds = jnp.cumsum(lengths)
+            seg = jnp.searchsorted(bounds, jnp.arange(cap), side='right')
+            self._row_rot_cache[l] = rots[jnp.minimum(seg, b)]
+        return self._row_rot_cache[l]
+
+    def _noise_key(self, tag: int):
+        key = self.pyramid.get('aug_key')
+        if key is None:
+            return None, 0.0
+        return jax.random.fold_in(key, tag), self.config.augment_noise
+
     def extent(self, l: int) -> float:
         """KP extent at level l: KP_extent * r_l / density_parameter with
         r_l = dl0 * density * 2^l (`network_blocks.py:92`) = dl0*KP_extent*2^l."""
@@ -159,11 +182,13 @@ class BlockCtx:
         if l not in self._conv_w:
             cfg = self.config
             if 'rels' in self.pyramid:
+                key, noise = self._noise_key(l)
                 self._conv_w[l] = influence_weights_from_rel(
                     self.pyramid['rels'][l], self.neighbors(l),
                     self.points(l).shape[0], self.search_radius(l),
                     self.kernel_points(l), self.extent(l),
-                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype(),
+                    rot=self._row_rot(l), noise_key=key, noise=noise)
             else:
                 self._conv_w[l] = influence_weights(
                     self.points(l), self.points(l), self.neighbors(l),
@@ -184,11 +209,14 @@ class BlockCtx:
                 'default 1 only supports nearest_upsample)')
         radius = self.search_radius(l_coarse)
         if 'up_rels' in self.pyramid:
+            key, noise = self._noise_key(100 + l_coarse)
             return influence_weights_from_rel(
                 self.pyramid['up_rels'][l_coarse - 1], ups,
                 self.points(l_coarse).shape[0], radius,
                 self.kernel_points(l_coarse), self.extent(l_coarse),
-                cfg.KP_influence, cfg.convolution_mode, self._dtype())
+                cfg.KP_influence, cfg.convolution_mode, self._dtype(),
+                rot=self._row_rot(l_coarse - 1), noise_key=key,
+                noise=noise)
         return influence_weights(
             self.points(l_coarse - 1), self.points(l_coarse), ups,
             self.kernel_points(l_coarse), self.extent(l_coarse),
@@ -198,11 +226,13 @@ class BlockCtx:
         if l not in self._pool_w:
             cfg = self.config
             if 'pool_rels' in self.pyramid:
+                key, noise = self._noise_key(200 + l)
                 self._pool_w[l] = influence_weights_from_rel(
                     self.pyramid['pool_rels'][l], self.pools(l),
                     self.points(l).shape[0], self.search_radius(l),
                     self.kernel_points(l), self.extent(l),
-                    cfg.KP_influence, cfg.convolution_mode, self._dtype())
+                    cfg.KP_influence, cfg.convolution_mode, self._dtype(),
+                    rot=self._row_rot(l + 1), noise_key=key, noise=noise)
             else:
                 self._pool_w[l] = influence_weights(
                     self.points(l + 1), self.points(l), self.pools(l),

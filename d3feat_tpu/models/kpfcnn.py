@@ -261,7 +261,13 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     from d3feat_tpu.ops.kpconv import lane_pad_table
     table = lane_pad_table(f, gather_dtype)
     neigh_f = maybe_gather_rows(table, neighbors0, inv)  # [N0, K, L]
-    neigh_sum = jnp.sum(neigh_f.astype(jnp.float32), axis=1)   # [N0, L]
+    if neigh_f.dtype == jnp.bfloat16:
+        # accumulate the K-sum in bf16: measured 11.6 vs 14.3 ms at 3.6M
+        # rows (microbench_head round3) — the K<=40-term mean tolerates
+        # bf16 rounding on the already-bf16 fast path
+        neigh_sum = jnp.sum(neigh_f, axis=1).astype(jnp.float32)
+    else:
+        neigh_sum = jnp.sum(neigh_f.astype(jnp.float32), axis=1)
     neigh_num = jnp.sum((neighbors0 < n0).astype(jnp.float32), axis=-1,
                         keepdims=True)
     neigh_num = jnp.maximum(neigh_num, 1.0)

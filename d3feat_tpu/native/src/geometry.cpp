@@ -136,6 +136,120 @@ int d3f_grid_subsample(const float* points, int n, float dl,
   return m;
 }
 
+namespace {
+
+// Hash-grid fallback for scenes whose bbox/radius grid exceeds the dense
+// cell budget (e.g. outdoor KITTI at small radii): same CSR counting-sort
+// candidate scan, but cell ids resolved through the flat hash (27 probes
+// per query instead of 9 dense z-runs).
+void radius_knn_rel_hash(const float* queries, int n_q,
+                         const float* supports, int n_s, float radius,
+                         int k, int* out_inds, int16_t* out_rel,
+                         float ox, float oy, float oz) {
+  const double inv = 1.0 / radius;
+  VoxelHash hash(static_cast<size_t>(n_s));
+  std::vector<int32_t> cell_of(n_s);
+  std::vector<int32_t> counts;
+  counts.reserve(n_s / 2 + 8);
+  for (int i = 0; i < n_s; ++i) {
+    int32_t ix = static_cast<int32_t>(std::floor((supports[3 * i] - ox) * inv));
+    int32_t iy = static_cast<int32_t>(std::floor((supports[3 * i + 1] - oy) * inv));
+    int32_t iz = static_cast<int32_t>(std::floor((supports[3 * i + 2] - oz) * inv));
+    size_t slot = hash.find_or_insert(voxel_key(ix, iy, iz));
+    int32_t& h = hash.head(slot);
+    if (h < 0) {
+      h = static_cast<int32_t>(counts.size());
+      counts.push_back(0);
+    }
+    cell_of[i] = h;
+    counts[h] += 1;
+  }
+  const int n_cells = static_cast<int>(counts.size());
+  std::vector<int32_t> starts(n_cells + 1, 0);
+  for (int c = 0; c < n_cells; ++c) starts[c + 1] = starts[c] + counts[c];
+  std::vector<int32_t> order(n_s);
+  std::vector<float> sxv(n_s), syv(n_s), szv(n_s);
+  {
+    std::vector<int32_t> fill(starts.begin(), starts.end() - 1);
+    for (int i = 0; i < n_s; ++i) {
+      int32_t pos = fill[cell_of[i]]++;
+      order[pos] = i;
+      sxv[pos] = supports[3 * i];
+      syv[pos] = supports[3 * i + 1];
+      szv[pos] = supports[3 * i + 2];
+    }
+  }
+
+  const float r2 = radius * radius;
+  const float scale = 32767.0f / radius;
+  std::vector<uint64_t> cand;
+  cand.reserve(256);
+  for (int q = 0; q < n_q; ++q) {
+    const float qx = queries[3 * q], qy = queries[3 * q + 1],
+                qz = queries[3 * q + 2];
+    int32_t cx = static_cast<int32_t>(std::floor((qx - ox) * inv));
+    int32_t cy = static_cast<int32_t>(std::floor((qy - oy) * inv));
+    int32_t cz = static_cast<int32_t>(std::floor((qz - oz) * inv));
+    cand.clear();
+    for (int dx = -1; dx <= 1; ++dx)
+      for (int dy = -1; dy <= 1; ++dy)
+        for (int dz = -1; dz <= 1; ++dz) {
+          size_t slot = hash.find(voxel_key(cx + dx, cy + dy, cz + dz));
+          if (slot == SIZE_MAX) continue;
+          int32_t c = hash.head(slot);
+          const int32_t b = starts[c], e = starts[c + 1];
+          for (int32_t p = b; p < e; ++p) {
+            float ddx = sxv[p] - qx;
+            float ddy = syv[p] - qy;
+            float ddz = szv[p] - qz;
+            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 <= r2) {
+              uint32_t bits;
+              std::memcpy(&bits, &d2, 4);
+              cand.push_back((static_cast<uint64_t>(bits) << 32) |
+                             static_cast<uint32_t>(order[p]));
+            }
+          }
+        }
+    int m = static_cast<int>(cand.size());
+    int take = std::min(m, k);
+    if (k == 1) {
+      uint64_t best = UINT64_MAX;
+      for (int j = 0; j < m; ++j) best = std::min(best, cand[j]);
+      if (m > 0) cand[0] = best;
+    } else if (take * 3 < m) {
+      std::partial_sort(cand.begin(), cand.begin() + take, cand.end());
+    } else {
+      std::sort(cand.begin(), cand.end());
+    }
+    int* row = out_inds + static_cast<int64_t>(q) * k;
+    for (int j = 0; j < take; ++j)
+      row[j] = static_cast<int32_t>(cand[j] & 0xffffffffu);
+    for (int j = take; j < k; ++j) row[j] = n_s;
+    if (out_rel) {
+      int16_t* rrow = out_rel + static_cast<int64_t>(q) * k * 3;
+      auto q16 = [](float v) {
+        float r = v >= 0.0f ? v + 0.5f : v - 0.5f;
+        return static_cast<int16_t>(static_cast<int32_t>(r));
+      };
+      for (int j = 0; j < take; ++j) {
+        const float* s = supports + 3ll * static_cast<int32_t>(
+            cand[j] & 0xffffffffu);
+        rrow[3 * j] = q16((s[0] - qx) * scale);
+        rrow[3 * j + 1] = q16((s[1] - qy) * scale);
+        rrow[3 * j + 2] = q16((s[2] - qz) * scale);
+      }
+      for (int j = take; j < k; ++j) {
+        rrow[3 * j] = INT16_MAX;
+        rrow[3 * j + 1] = INT16_MAX;
+        rrow[3 * j + 2] = INT16_MAX;
+      }
+    }
+  }
+}
+
+}  // namespace
+
 // Fixed-degree radius search: for each query, the k nearest supports
 // within `radius`, ascending by (distance, index); pad with n_s.
 // out_inds: [n_q * k] int32.
@@ -155,67 +269,148 @@ void d3f_radius_knn_rel(const float* queries, int n_q, const float* supports,
         out_rel[i] = INT16_MAX;
     return;
   }
-  // bucket supports on a `radius`-sized grid anchored at the support bbox
+  // Bucket supports on a `radius`-sized grid anchored at the support bbox.
+  //
+  // Design (v2, measured on the 1-core training host): a DENSE z-minor
+  // cell grid + CSR counting sort. The v1 flat-hash probe spent ~2 us per
+  // query in 27 hash lookups alone; with a dense grid the 27-cell probe
+  // collapses into 9 direct (x, y) lookups over CONTIGUOUS z-runs (cells
+  // (z-1..z+1) are adjacent in the z-minor layout, and the CSR slices of
+  // adjacent cells are themselves contiguous). Coordinates are re-laid-out
+  // as SoA so the candidate loop streams sequential memory.
+  // Falls back to the hash probe when the bbox grid would exceed the cell
+  // budget (unbounded scenes).
   float ox = supports[0], oy = supports[1], oz = supports[2];
+  float mx = ox, my = oy, mz = oz;
   for (int i = 1; i < n_s; ++i) {
     ox = std::min(ox, supports[3 * i]);
     oy = std::min(oy, supports[3 * i + 1]);
     oz = std::min(oz, supports[3 * i + 2]);
+    mx = std::max(mx, supports[3 * i]);
+    my = std::max(my, supports[3 * i + 1]);
+    mz = std::max(mz, supports[3 * i + 2]);
   }
   const double inv = 1.0 / radius;
-  VoxelHash hash(static_cast<size_t>(n_s));
-  std::vector<int32_t> next(n_s, -1);
+  const int64_t nx = static_cast<int64_t>(std::floor((mx - ox) * inv)) + 1;
+  const int64_t ny = static_cast<int64_t>(std::floor((my - oy) * inv)) + 1;
+  const int64_t nz = static_cast<int64_t>(std::floor((mz - oz) * inv)) + 1;
+  const int64_t n_cells = nx * ny * nz;
+  constexpr int64_t kMaxDenseCells = 1 << 25;  // 32M cells = 128 MB starts
+  if (n_cells > kMaxDenseCells || n_cells <= 0) {
+    radius_knn_rel_hash(queries, n_q, supports, n_s, radius, k,
+                        out_inds, out_rel, ox, oy, oz);
+    return;
+  }
+
+  std::vector<int32_t> cell_of(n_s);
+  std::vector<int32_t> starts(n_cells + 1, 0);
   for (int i = 0; i < n_s; ++i) {
-    int32_t ix = static_cast<int32_t>(std::floor((supports[3 * i] - ox) * inv));
-    int32_t iy = static_cast<int32_t>(std::floor((supports[3 * i + 1] - oy) * inv));
-    int32_t iz = static_cast<int32_t>(std::floor((supports[3 * i + 2] - oz) * inv));
-    size_t slot = hash.find_or_insert(voxel_key(ix, iy, iz));
-    int32_t& h = hash.head(slot);
-    next[i] = h;  // push-front: chain holds descending indices
-    h = i;
+    int64_t ix = static_cast<int64_t>(std::floor((supports[3 * i] - ox) * inv));
+    int64_t iy = static_cast<int64_t>(std::floor((supports[3 * i + 1] - oy) * inv));
+    int64_t iz = static_cast<int64_t>(std::floor((supports[3 * i + 2] - oz) * inv));
+    int32_t c = static_cast<int32_t>((ix * ny + iy) * nz + iz);
+    cell_of[i] = c;
+    starts[c + 1] += 1;
+  }
+  for (int64_t c = 0; c < n_cells; ++c) starts[c + 1] += starts[c];
+  // scatter: original index + SoA coords per slice slot (ascending index
+  // within each cell, preserving the (distance, index) tie order)
+  std::vector<int32_t> order(n_s);
+  std::vector<float> sxv(n_s), syv(n_s), szv(n_s);
+  {
+    std::vector<int32_t> fill(starts.begin(), starts.end() - 1);
+    for (int i = 0; i < n_s; ++i) {
+      int32_t pos = fill[cell_of[i]]++;
+      order[pos] = i;
+      sxv[pos] = supports[3 * i];
+      syv[pos] = supports[3 * i + 1];
+      szv[pos] = supports[3 * i + 2];
+    }
   }
 
   const float r2 = radius * radius;
   auto worker = [&](int q_begin, int q_end) {
-    std::vector<std::pair<float, int32_t>> cand;
+    // Candidates packed as (d2 bits << 32) | original index: non-negative
+    // IEEE floats order like their bit patterns, so one POD sort yields
+    // the (distance, index) order the reference contract requires —
+    // no comparator indirection, ties break by index for free.
+    std::vector<uint64_t> cand;
+    cand.reserve(256);
+    std::vector<float> d2buf_v(1024);
     for (int q = q_begin; q < q_end; ++q) {
       const float qx = queries[3 * q], qy = queries[3 * q + 1],
                   qz = queries[3 * q + 2];
-      int32_t cx = static_cast<int32_t>(std::floor((qx - ox) * inv));
-      int32_t cy = static_cast<int32_t>(std::floor((qy - oy) * inv));
-      int32_t cz = static_cast<int32_t>(std::floor((qz - oz) * inv));
+      int64_t cx = static_cast<int64_t>(std::floor((qx - ox) * inv));
+      int64_t cy = static_cast<int64_t>(std::floor((qy - oy) * inv));
+      int64_t cz = static_cast<int64_t>(std::floor((qz - oz) * inv));
       cand.clear();
-      for (int dx = -1; dx <= 1; ++dx)
-        for (int dy = -1; dy <= 1; ++dy)
-          for (int dz = -1; dz <= 1; ++dz) {
-            size_t slot = hash.find(voxel_key(cx + dx, cy + dy, cz + dz));
-            if (slot == SIZE_MAX) continue;
-            for (int32_t i = hash.head(slot); i >= 0; i = next[i]) {
-              float ddx = supports[3 * i] - qx;
-              float ddy = supports[3 * i + 1] - qy;
-              float ddz = supports[3 * i + 2] - qz;
-              float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-              if (d2 <= r2) cand.emplace_back(d2, i);
+      if (cx >= -1 && cx <= nx && cy >= -1 && cy <= ny && cz >= -1 &&
+          cz <= nz) {
+        const int64_t x0 = std::max<int64_t>(cx - 1, 0);
+        const int64_t x1 = std::min<int64_t>(cx + 1, nx - 1);
+        const int64_t y0 = std::max<int64_t>(cy - 1, 0);
+        const int64_t y1 = std::min<int64_t>(cy + 1, ny - 1);
+        const int64_t z0 = std::max<int64_t>(cz - 1, 0);
+        const int64_t z1 = std::min<int64_t>(cz + 1, nz - 1);
+        for (int64_t x = x0; x <= x1; ++x)
+          for (int64_t y = y0; y <= y1; ++y) {
+            // z-run: cells z0..z1 are contiguous -> one CSR slice
+            const int64_t base = (x * ny + y) * nz;
+            const int32_t b = starts[base + z0];
+            const int32_t e = starts[base + z1 + 1];
+            if (e - b > static_cast<int32_t>(d2buf_v.size()))
+              d2buf_v.resize(e - b);
+            float* d2buf = d2buf_v.data();
+            // two passes: a branch-free distance loop the compiler can
+            // vectorize, then a scalar filter over the small buffer
+            for (int32_t p = b; p < e; ++p) {
+              float ddx = sxv[p] - qx;
+              float ddy = syv[p] - qy;
+              float ddz = szv[p] - qz;
+              d2buf[p - b] = ddx * ddx + ddy * ddy + ddz * ddz;
+            }
+            for (int32_t p = b; p < e; ++p) {
+              float d2 = d2buf[p - b];
+              if (d2 <= r2) {
+                uint32_t bits;
+                std::memcpy(&bits, &d2, 4);
+                cand.push_back((static_cast<uint64_t>(bits) << 32) |
+                               static_cast<uint32_t>(order[p]));
+              }
             }
           }
+      }
       int m = static_cast<int>(cand.size());
       int take = std::min(m, k);
-      std::partial_sort(cand.begin(), cand.begin() + take, cand.end());
       int* row = out_inds + static_cast<int64_t>(q) * k;
-      for (int j = 0; j < take; ++j) row[j] = cand[j].second;
+      if (k == 1) {
+        // nearest-only (upsample lists): min scan, no sort
+        uint64_t best = UINT64_MAX;
+        for (int j = 0; j < m; ++j) best = std::min(best, cand[j]);
+        if (m > 0) cand[0] = best;
+      } else if (take * 3 < m) {
+        std::partial_sort(cand.begin(), cand.begin() + take, cand.end());
+      } else {
+        std::sort(cand.begin(), cand.end());
+      }
+      for (int j = 0; j < take; ++j)
+        row[j] = static_cast<int32_t>(cand[j] & 0xffffffffu);
       for (int j = take; j < k; ++j) row[j] = n_s;
       if (out_rel) {
         int16_t* rrow = out_rel + static_cast<int64_t>(q) * k * 3;
         const float scale = 32767.0f / radius;
         auto q16 = [](float v) {
-          long r = std::lround(v);
-          return static_cast<int16_t>(std::max(-32767L, std::min(32767L, r)));
+          // candidates satisfy |v| <= 32767 by construction (d <= radius);
+          // round-half-away like lround, without the libm call
+          float r = v >= 0.0f ? v + 0.5f : v - 0.5f;
+          return static_cast<int16_t>(static_cast<int32_t>(r));
         };
         for (int j = 0; j < take; ++j) {
-          int32_t i = cand[j].second;
-          rrow[3 * j] = q16((supports[3 * i] - qx) * scale);
-          rrow[3 * j + 1] = q16((supports[3 * i + 1] - qy) * scale);
-          rrow[3 * j + 2] = q16((supports[3 * i + 2] - qz) * scale);
+          const float* s = supports + 3ll * static_cast<int32_t>(
+              cand[j] & 0xffffffffu);
+          rrow[3 * j] = q16((s[0] - qx) * scale);
+          rrow[3 * j + 1] = q16((s[1] - qy) * scale);
+          rrow[3 * j + 2] = q16((s[2] - qz) * scale);
         }
         for (int j = take; j < k; ++j) {
           rrow[3 * j] = INT16_MAX;

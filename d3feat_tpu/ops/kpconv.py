@@ -198,15 +198,35 @@ def influence_weights_from_rel(
     kp_influence: str = 'linear',
     aggregation_mode: str = 'sum',
     out_dtype=jnp.bfloat16,
+    rot: Optional[jax.Array] = None,    # [Nq, 3, 3] per-row rotation
+    noise_key: Optional[jax.Array] = None,
+    noise: float = 0.0,
 ) -> jax.Array:
     """Influence weights [Nq, P, K] from host-shipped relative vectors —
     no coordinate gather on device (the host radius search already
     computed support - query for every slot). Shadow slots are masked
     explicitly, reproducing the reference's zero influence for the
     1e6 shadow point (`convolution_ops.py:189-224`).
+
+    ``rot``/``noise_key``: on-device augmentation for the cached-pyramid
+    training path (d3feat_tpu.data.cache). Rotating the rel vectors is
+    exactly equivalent to rotating the input cloud before the radius
+    search (rotation preserves distances, and the constant-ones network
+    sees geometry only through rel); the noise term is the difference of
+    the two per-point jitters of the reference's rotate-then-search order
+    (`datasets/ThreeDMatch.py:266-273`), i.e. triangular on (-noise, noise).
     """
     p = kernel_points.shape[0]
     rel = rel_quant.astype(jnp.float32) * (radius / 32767.0)
+    if rot is not None:
+        # points @ R semantics (data/augment.py): rel' = rel @ R_row
+        rel = jnp.einsum('nkd,nde->nke', rel, rot.astype(jnp.float32),
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+    if noise_key is not None and noise > 0.0:
+        u = jax.random.uniform(noise_key, rel.shape + (2,),
+                               dtype=jnp.float32)
+        rel = rel + (u[..., 0] - u[..., 1]) * noise
     sq_rel = jnp.sum(rel * rel, axis=-1)                        # [Nq, K]
     cross = jnp.einsum('nkd,pd->npk', rel, kernel_points,
                        preferred_element_type=jnp.float32,

@@ -43,6 +43,9 @@ def main():
                          'files for the MATLAB registration-recall '
                          'protocol (geometric_registration/evaluate.py:'
                          '84-110 analog)')
+    ap.add_argument('--scenes', default=None,
+                    help='file listing test scene names (one per line) or '
+                         'comma-separated names; default: the official 8')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -61,8 +64,15 @@ def main():
     else:
         cfg = threedmatch_config()
 
+    scenes = None
+    if args.scenes:
+        if os.path.isfile(args.scenes):
+            with open(args.scenes) as fh:
+                scenes = tuple(l.strip() for l in fh if l.strip())
+        else:
+            scenes = tuple(args.scenes.split(','))
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl,
-                                 load_test=True)
+                                 load_test=True, scenes=scenes)
     variables = init_variables(cfg)
     if args.snapshot:
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
@@ -90,7 +100,7 @@ def main():
             raise FileNotFoundError(f'no gt dir for {scene} under {args.gt}')
 
         scene_stats = {}
-        for scene in TEST_SCENES:
+        for scene in dataset.scenes:
             gt = load_log(os.path.join(gt_dir(scene), 'gt.log'))
             frags = {}
             desc_dir = os.path.join(out_dir, 'descriptors', scene)
@@ -139,7 +149,7 @@ def main():
             # the reference's MATLAB evaluate.m
             from d3feat_tpu.eval.recall import load_info, registration_recall
             recalls = []
-            for scene in TEST_SCENES:
+            for scene in dataset.scenes:
                 info_path = os.path.join(gt_dir(scene), 'gt.info')
                 if not os.path.exists(info_path):
                     continue

@@ -30,6 +30,14 @@ def main():
     ap.add_argument('--dp', type=int, default=0,
                     help='data-parallel over N mesh devices (one fragment '
                          'pair per device; 0 = single-device loop)')
+    ap.add_argument('--cached', action='store_true',
+                    help='cached-pyramid mode: build each pair pyramid '
+                         'once, re-augment on device (d3feat_tpu.data.'
+                         'cache) — removes the host input bottleneck on '
+                         'few-core hosts')
+    ap.add_argument('--max-cached-pairs', type=int, default=None)
+    ap.add_argument('--val-size', type=int, default=None,
+                    help='validation batches per epoch (default: config)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -49,12 +57,28 @@ def main():
         cfg = cfg.replace(max_points=args.max_points)
     if args.fdim:
         cfg = cfg.replace(first_features_dim=args.fdim)
+    if args.val_size is not None:
+        cfg = cfg.replace(validation_size=args.val_size)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)
     rng = np.random.default_rng(42)
-    train_it = dataset.train_batches(cfg, rng, 'train')
     val_rng = np.random.default_rng(7)
+
+    if args.cached:
+        from d3feat_tpu.data.cache import build_cache_from_dataset
+        import time as _t
+        t0 = _t.perf_counter()
+        cache = build_cache_from_dataset(dataset, 'train', cfg,
+                                         max_pairs=args.max_cached_pairs,
+                                         rng=rng)
+        print(f'cached {len(cache)} pair pyramids in '
+              f'{_t.perf_counter() - t0:.0f} s', flush=True)
+        train_fn = lambda: cache.train_batches(rng)  # noqa: E731
+        train_it = cache.train_batches(rng)
+    else:
+        train_fn = None
+        train_it = dataset.train_batches(cfg, rng, 'train')
 
     first = next(train_it)
     model, variables = init_kpfcnn(cfg, first['pyramid'])
@@ -91,8 +115,8 @@ def main():
     trainer = Trainer(cfg, save_dir)
     trainer.train(
         state,
-        train_batches=lambda: prefetch(
-            lambda: dataset.train_batches(cfg, rng, 'train')),
+        train_batches=train_fn or (lambda: prefetch(
+            lambda: dataset.train_batches(cfg, rng, 'train'))),
         val_batches=lambda: dataset.train_batches(cfg, val_rng, 'val'),
         num_epochs=args.epochs)
 
