@@ -127,6 +127,57 @@ class PairPyramidCache:
         while True:
             yield self.sample_batch(rng, augment=augment)
 
+    # -- device-resident mode (tunneled TPUs) --------------------------------
+    def stacked_pyramids(self) -> Dict:
+        """Stack every cached pyramid along a new leading axis — the
+        device-resident dataset for `make_resident_train_step` (upload
+        once, slice by index on device)."""
+        import jax
+        pyrs = [p['pyramid'] for p in self._pairs]
+        return jax.tree.map(lambda *xs: np.stack(xs), *pyrs)
+
+    def sample_small_batch(self, rng: np.random.Generator,
+                           augment: bool = True) -> Dict:
+        """The per-step host payload for resident mode: pair index,
+        sampled correspondences, augmentation state (~0.3 MB)."""
+        cfg = self.config
+        idx = int(rng.integers(len(self._pairs)))
+        pair = self._pairs[idx]
+        m = cfg.keypts_num
+        corr = pair['corr']
+        anc_inds = np.zeros(m, np.int32)
+        pos_inds = np.zeros(m, np.int32)
+        valid = np.zeros(m, bool)
+        if len(corr) > 0:
+            sel = rng.integers(0, len(corr), size=m)
+            picked = corr[sel]
+            anc_inds[:] = picked[:, 0]
+            pos_inds[:] = picked[:, 1] + pair['n_anc']
+            valid[:] = True
+        kp = pair['anc_points'][anc_inds]
+        keypts_dists = np.sqrt(
+            np.sum((kp[:, None] - kp[None, :]) ** 2, axis=-1) + 1e-12
+        ).astype(np.float32)
+        if augment:
+            rots = []
+            for _ in range(2):
+                _, r = random_rotate(
+                    np.zeros((1, 3), np.float32), rng,
+                    1 if cfg.augment_rotation else 0)
+                rots.append(r)
+            rots.append(np.eye(3, dtype=np.float32))
+        else:
+            rots = [np.eye(3, dtype=np.float32)] * 3
+        return {
+            'pair_idx': np.int32(idx),
+            'aug_rot': np.stack(rots).astype(np.float32),
+            'aug_key': rng.integers(0, 2 ** 32, size=2, dtype=np.uint32),
+            'anc_inds': anc_inds,
+            'pos_inds': pos_inds,
+            'corr_valid': valid,
+            'keypts_dists': keypts_dists,
+        }
+
 
 def build_cache_from_dataset(dataset, split: str, config: Config,
                              max_pairs: Optional[int] = None,

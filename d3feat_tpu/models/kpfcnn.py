@@ -164,7 +164,8 @@ class KPFCNN(nn.Module):
             pyramid['neighbors'][0], pyramid['cloud_inds'],
             pyramid['masks'][0], features,
             num_clouds=pyramid['lengths'][0].shape[0],
-            gather_dtype=gather_dtype, inv=inv0)
+            gather_dtype=gather_dtype, inv=inv0,
+            lengths=pyramid['lengths'][0])
         return descriptors, scores
 
     def _encoder_block(self, block, ctx, features, layer, fdim,
@@ -216,7 +217,7 @@ class KPFCNN(nn.Module):
 def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      mask0: jax.Array, features: jax.Array,
                      num_clouds: int, gather_dtype=jnp.float32,
-                     inv=None) -> jax.Array:
+                     inv=None, lengths=None) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -225,6 +226,8 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
       mask0: [N0] valid-row mask.
       features: [N0, D] *unnormalized* decoder output.
       num_clouds: static B.
+      lengths: optional [B] per-cloud valid counts — enables the exact
+        reference clamp semantics (see below).
 
     Returns [N0, 1] scores (pad rows 0).
     """
@@ -232,14 +235,23 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     neg_inf = jnp.asarray(-jnp.inf, features.dtype)
 
     # per-cloud scalar max over valid rows, all channels (D3Feat.py:84-90).
-    # Clamped at >= 0: the reference gathers via in_batches rows that are
-    # padded with the zero shadow row (datasets/common.py:465-495), so its
-    # max implicitly includes 0 for every cloud except the batch's largest;
-    # we apply the clamp uniformly.
+    # The reference gathers via in_batches rows padded with a zero shadow
+    # row (datasets/common.py:465-495), so its max implicitly includes 0
+    # for every cloud EXCEPT the batch's largest (whose in_batches row has
+    # no pad slots). With `lengths` we reproduce that exactly: clamp at 0
+    # only the clouds shorter than the batch max. Without lengths, clamp
+    # uniformly — it differs only when every feature of every channel of
+    # the largest cloud is negative.
     row_max = jnp.max(jnp.where(mask0[:, None], features, neg_inf), axis=1)
     cloud_max = jax.ops.segment_max(row_max, cloud_inds,
                                     num_segments=num_clouds + 1)
-    cloud_max = jnp.maximum(cloud_max, 0.0)
+    if lengths is not None:
+        is_largest = lengths == jnp.max(lengths)
+        raw = cloud_max[:num_clouds]
+        clamped = jnp.where(is_largest, raw, jnp.maximum(raw, 0.0))
+        cloud_max = cloud_max.at[:num_clouds].set(clamped)
+    else:
+        cloud_max = jnp.maximum(cloud_max, 0.0)
     per_row_max = cloud_max[jnp.minimum(cloud_inds, num_clouds)]
     f = features / (per_row_max[:, None] + 1e-6)
     f = jnp.where(mask0[:, None], f, 0.0)

@@ -194,6 +194,72 @@ def make_train_step(config: Config) -> Callable:
     return train_step
 
 
+def make_resident_train_step(config: Config) -> Callable:
+    """Device-resident-dataset train step for tunneled/remote TPUs.
+
+    The plain step ships the full padded pyramid (~40 MB) host->device
+    every step; over the axon tunnel that transfer dominates (~1 s/step vs
+    a ~0.1 s device step). Here the ENTIRE stacked cache lives in HBM (a
+    [n_pairs, ...]-stacked pytree, a few GB) and the step receives only a
+    pair INDEX plus the small per-step tensors (sampled correspondences,
+    augmentation state, ~0.3 MB); the pair's pyramid is sliced out
+    on-device.
+
+    Returns step(state, resident, small_batch) -> (state, metrics) where
+    `resident` is the stacked pyramid pytree (pass the same device arrays
+    every call — jit keeps them resident) and small_batch has keys:
+    pair_idx, aug_rot, aug_key, anc_inds, pos_inds, corr_valid,
+    keypts_dists.
+    """
+    base_step_factory_model = KPFCNN(config)
+    tx = make_optimizer(config)
+
+    def loss_fn(params, batch_stats, kpoints, batch):
+        variables = {'params': params, 'batch_stats': batch_stats,
+                     'kpoints': kpoints}
+        (desc, scores), mutated = base_step_factory_model.apply(
+            variables, batch['pyramid'], training=True,
+            mutable=['batch_stats'])
+        anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
+        losses = d3feat_loss(
+            desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
+            batch['keypts_dists'], batch['corr_valid'],
+            safe_radius=config.safe_radius,
+            pos_margin=config.pos_margin,
+            neg_margin=config.neg_margin,
+            log_scale=config.log_scale,
+            det_weight=config.det_loss_weight,
+            keypts_num=config.keypts_num,
+            loss_type=config.loss_type)
+        reg = config.weights_decay * weight_l2(params)
+        losses['reg_loss'] = reg
+        losses['total'] = losses['loss'] + reg
+        return losses['total'], (losses, mutated['batch_stats'])
+
+    @jax.jit
+    def step(state: TrainState, resident, small) -> Tuple[TrainState, Dict]:
+        idx = small['pair_idx']
+        pyramid = jax.tree.map(lambda x: x[idx], resident)
+        pyramid['aug_rot'] = small['aug_rot']
+        pyramid['aug_key'] = small['aug_key']
+        batch = {'pyramid': pyramid,
+                 'anc_inds': small['anc_inds'],
+                 'pos_inds': small['pos_inds'],
+                 'corr_valid': small['corr_valid'],
+                 'keypts_dists': small['keypts_dists']}
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.kpoints, batch)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, kpoints=state.kpoints,
+                               opt_state=new_opt)
+        return new_state, metrics
+
+    return step
+
+
 def make_eval_step(config: Config) -> Callable:
     """Jitted validation step: forward (running BN stats) + losses."""
     model = KPFCNN(config)

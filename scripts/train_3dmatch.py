@@ -36,6 +36,12 @@ def main():
                          'cache) — removes the host input bottleneck on '
                          'few-core hosts')
     ap.add_argument('--max-cached-pairs', type=int, default=None)
+    ap.add_argument('--resident', action='store_true',
+                    help='device-resident dataset (implies --cached): '
+                         'upload all cached pyramids to HBM once, slice '
+                         'by index on device — required for good step '
+                         'rates on tunneled TPUs (~0.3 MB/step host '
+                         'traffic instead of ~40 MB)')
     ap.add_argument('--val-size', type=int, default=None,
                     help='validation batches per epoch (default: config)')
     ap.add_argument('--cpu', action='store_true')
@@ -65,6 +71,8 @@ def main():
     rng = np.random.default_rng(42)
     val_rng = np.random.default_rng(7)
 
+    if args.resident:
+        args.cached = True
     if args.cached:
         from d3feat_tpu.data.cache import build_cache_from_dataset
         import time as _t
@@ -87,6 +95,59 @@ def main():
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
                                                  restore_checkpoint)
         state = restore_checkpoint(latest_snapshot(args.restore), state)
+
+    if args.resident:
+        import json
+        import time as _t
+        from d3feat_tpu.train.trainer import make_resident_train_step
+        from d3feat_tpu.utils.checkpoint import save_checkpoint
+        os.makedirs(save_dir, exist_ok=True)
+        cfg.save(os.path.join(save_dir, 'parameters.txt'))
+        t0 = _t.perf_counter()
+        resident = jax.device_put(cache.stacked_pyramids())
+        jax.block_until_ready(jax.tree.leaves(resident)[0])
+        n_bytes = sum(x.size * x.dtype.itemsize
+                      for x in jax.tree.leaves(resident))
+        print(f'resident dataset: {n_bytes / 1e9:.2f} GB uploaded in '
+              f'{_t.perf_counter() - t0:.0f} s', flush=True)
+        step_fn = make_resident_train_step(cfg)
+        kill_file = os.path.join(save_dir, 'running_PID.txt')
+        with open(kill_file, 'w') as fh:
+            fh.write(str(os.getpid()))
+        log_f = open(os.path.join(save_dir, 'training.txt'), 'a')
+        met_f = open(os.path.join(save_dir, 'metrics.jsonl'), 'a')
+        epochs = args.epochs or cfg.max_epoch
+        t_last = _t.perf_counter()
+        try:
+            for epoch in range(epochs):
+                for i in range(cfg.epoch_steps):
+                    small = cache.sample_small_batch(rng)
+                    state, metrics = step_fn(state, resident, small)
+                    if i % 100 == 0:
+                        m = {k: float(v) for k, v in metrics.items()}
+                        dt = _t.perf_counter() - t_last
+                        t_last = _t.perf_counter()
+                        line = (f'e{epoch:03d} s{i:05d} '
+                                f'loss={m["total"]:.4f} '
+                                f'desc={m["desc_loss"]:.4f} '
+                                f'det={m["det_loss"]:.4f} '
+                                f'acc={m["accuracy"]:.3f} dt={dt:.1f}s')
+                        print(line, flush=True)
+                        log_f.write(line + '\n'); log_f.flush()
+                        met_f.write(json.dumps(
+                            {'epoch': epoch, 'step': i, **m}) + '\n')
+                        met_f.flush()
+                    if not os.path.exists(kill_file):
+                        break
+                save_checkpoint(os.path.join(save_dir, f'snap-{epoch}'),
+                                jax.device_get(state))
+                if not os.path.exists(kill_file):
+                    print('# kill file removed, stopping', flush=True)
+                    break
+        finally:
+            if os.path.exists(kill_file):
+                os.remove(kill_file)
+        return
 
     from d3feat_tpu.data.loader import prefetch
     if args.dp:

@@ -137,3 +137,42 @@ def test_cache_rejects_scale_augmentation():
     cfg = tiny_cfg(augment_scale_min=0.9, augment_scale_max=1.1)
     with pytest.raises(ValueError, match='scale'):
         PairPyramidCache(cfg)
+
+
+@pytest.mark.slow
+def test_resident_train_step_matches_cached(rng):
+    """Resident-mode step (device-side pair slicing) computes the same
+    update as the per-batch path given identical inputs."""
+    from d3feat_tpu.train.trainer import make_resident_train_step
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(rng)
+    cache = PairPyramidCache(cfg)
+    cache.add_pair(anc, pos, corr)
+    cache.add_pair(pos, anc, corr[:, ::-1])
+
+    resident = cache.stacked_pyramids()
+    small = cache.sample_small_batch(np.random.default_rng(5))
+
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    rstep = make_resident_train_step(cfg)
+    new_state, metrics = rstep(state, resident, small)
+    assert np.isfinite(float(metrics['total']))
+
+    # equivalent plain batch
+    idx = int(small['pair_idx'])
+    pyramid = dict(cache._pairs[idx]['pyramid'])
+    pyramid['aug_rot'] = small['aug_rot']
+    pyramid['aug_key'] = small['aug_key']
+    batch = {'pyramid': pyramid, 'anc_inds': small['anc_inds'],
+             'pos_inds': small['pos_inds'],
+             'corr_valid': small['corr_valid'],
+             'keypts_dists': small['keypts_dists']}
+    step = make_train_step(cfg)
+    new_state2, metrics2 = step(state, batch)
+    np.testing.assert_allclose(float(metrics['total']),
+                               float(metrics2['total']), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(new_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

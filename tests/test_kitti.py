@@ -106,3 +106,49 @@ def test_test_pairs_iterator(kitti_root):
     from scipy.spatial import cKDTree
     d, _ = cKDTree(pos).query(apply_transform(anc, trans), k=1, workers=-1)
     assert np.median(d) < 0.5
+
+
+def test_icp_refinement_accuracy_with_thinning(rng):
+    """Weak-spot measurement (VERDICT r1 #8): the reference refines KITTI
+    GT by ICP on full-resolution clouds (`datasets/KITTI.py:288-297`);
+    this adapter thins to icp_voxel=0.15 first. Measure the recovered
+    pose against a KNOWN ground truth under a realistic prior error
+    (KITTI odometry drift ~0.2-0.5 m): the thinned ICP must land within
+    2 cm / 0.2 deg of the true pose."""
+    from d3feat_tpu.ops.subsample import grid_subsample
+    from d3feat_tpu.utils.icp import icp_point_to_point
+
+    # structured LiDAR-ish scene: ground strip + wall + boxes
+    n = 40000
+    ground = np.stack([rng.random(n) * 60 - 30, rng.random(n) * 20 - 10,
+                       rng.normal(0, 0.02, n)], 1)
+    wall = np.stack([rng.random(n // 4) * 60 - 30,
+                     np.full(n // 4, 8.0) + rng.normal(0, 0.02, n // 4),
+                     rng.random(n // 4) * 3], 1)
+    blocks = []
+    for _ in range(12):
+        c = np.array([rng.random() * 50 - 25, rng.random() * 14 - 7, 0.8])
+        blocks.append(c + (rng.random((800, 3)) - 0.5)
+                      * np.array([2.0, 2.0, 1.6]))
+    scene = np.concatenate([ground, wall] + blocks).astype(np.float32)
+
+    theta = np.deg2rad(1.5)  # prior rotation error
+    c, s = np.cos(theta), np.sin(theta)
+    t_true = np.eye(4)
+    t_true[:3, :3] = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]])
+    t_true[:3, 3] = [0.35, -0.2, 0.05]
+
+    src = scene + rng.normal(0, 0.02, scene.shape)          # scan noise
+    dst = apply_transform(scene, t_true) + rng.normal(0, 0.02, scene.shape)
+
+    s0 = grid_subsample(src.astype(np.float32), 0.15)
+    s1 = grid_subsample(dst.astype(np.float32), 0.15)
+    # prior = identity (the full error is the prior error)
+    refine = icp_point_to_point(s0, s1, threshold=0.2, max_iterations=200)
+
+    err = np.linalg.inv(t_true) @ refine
+    rte = np.linalg.norm(err[:3, 3])
+    rre = np.rad2deg(np.arccos(np.clip((np.trace(err[:3, :3]) - 1) / 2,
+                                       -1, 1)))
+    assert rte < 0.02, rte
+    assert rre < 0.2, rre

@@ -152,6 +152,39 @@ def test_detection_scores_oracle(rng):
 
 
 @pytest.mark.slow
+def test_detection_scores_largest_cloud_unclamped(rng):
+    """Exact reference clamp semantics (`datasets/common.py:465-495` +
+    `models/D3Feat.py:84-90`): the per-cloud scalar max implicitly
+    includes 0 via in_batches pad slots for every cloud EXCEPT the batch's
+    largest. With all-negative features, the largest cloud must be
+    normalized by its true (negative) max, the smaller one by ~0."""
+    n_a, n_b, k, d = 30, 25, 6, 8
+    n = n_a + n_b
+    feats = rng.standard_normal((n, d)).astype(np.float32) - 10.0  # all < 0
+    assert feats.max() < 0
+    neigh = rng.integers(0, n, (n, k)).astype(np.int32)
+
+    m0 = feats[:n_a].max()            # largest cloud: NO implicit 0
+    m1 = max(feats[n_a:].max(), 0.0)  # smaller cloud: clamped
+    per_max = np.concatenate([np.full(n_a, m0), np.full(n_b, m1)])
+    f = f_ext = feats / (per_max[:, None] + 1e-6)
+    f_ext = np.concatenate([f, np.zeros((1, d), np.float32)])
+    nf = f_ext[neigh]
+    nnum = np.maximum((neigh < n).sum(-1, keepdims=True), 1)
+    mean = nf.sum(1) / nnum
+    alpha = np.log1p(np.exp(-np.abs(f - mean))) + np.maximum(f - mean, 0)
+    beta = f / (1e-6 + f.max(1, keepdims=True))
+    want = (alpha * beta).max(1, keepdims=True)
+
+    cloud_inds = np.concatenate([np.zeros(n_a, np.int32),
+                                 np.ones(n_b, np.int32)])
+    got = np.asarray(detection_scores(
+        jnp.asarray(neigh), jnp.asarray(cloud_inds),
+        jnp.asarray(np.ones(n, bool)), jnp.asarray(feats), num_clouds=2,
+        lengths=jnp.asarray([n_a, n_b], np.int32)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_param_count_flagship():
     """Flagship config has the reference's ~14M params (SURVEY.md §2.9)."""
     cfg = threedmatch_config(max_points=2048, size_multiple=64,
