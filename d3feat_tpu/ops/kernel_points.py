@@ -100,8 +100,15 @@ def optimize_kernel_points(
     return out.astype(np.float32)
 
 
-def _disposition_path(num_points: int, fixed: str) -> str:
-    return os.path.join(_DISPOSITIONS_DIR, f'k_{num_points:03d}_{fixed}.npy')
+def _disposition_path(num_points: int, fixed: str,
+                      dimension: int = 3) -> str:
+    # 3D keeps the historical name (committed dispositions); 2D gets its
+    # own cache entry (the reference hard-codes a 3D .ply path and its 2D
+    # branch returns the kernel UNSCALED, `kernels/kernel_points.py:
+    # 222-224` — a latent bug in dead code we do not reproduce).
+    suffix = '' if dimension == 3 else f'_{dimension}d'
+    return os.path.join(_DISPOSITIONS_DIR,
+                        f'k_{num_points:03d}_{fixed}{suffix}.npy')
 
 
 def load_kernel_points(
@@ -120,7 +127,7 @@ def load_kernel_points(
 
     Returns float32 [num_points, dimension] scaled to ``radius``.
     """
-    path = _disposition_path(num_points, fixed)
+    path = _disposition_path(num_points, fixed, dimension)
     if os.path.exists(path):
         base = np.load(path)
     else:

@@ -198,3 +198,18 @@ def test_load_kernel_points_seeded():
     assert np.allclose(a[0], 0.0)  # pinned center survives jitter
     # mean non-center radius ~ 0.15 (within jitter)
     assert abs(np.linalg.norm(a[1:], axis=1).mean() - 0.15) < 0.01
+
+
+def test_kernel_points_2d():
+    """2D dispositions (reference supports dimension=2 in the optimizer,
+    `kernels/kernel_points.py:41-181`; its loader's 2D branch is broken —
+    returns the kernel unscaled — which we fix rather than reproduce)."""
+    from d3feat_tpu.ops.kernel_points import load_kernel_points
+    kp = load_kernel_points(0.5, 9, dimension=2, fixed='center', seed=3)
+    assert kp.shape == (9, 2)
+    assert np.linalg.norm(kp[0]) < 1e-6            # pinned center
+    r = np.linalg.norm(kp, axis=1)
+    assert r.max() <= 0.5 * 1.6 and r.max() > 0.2  # scaled to radius
+    # deterministic under the same seed
+    kp2 = load_kernel_points(0.5, 9, dimension=2, fixed='center', seed=3)
+    np.testing.assert_array_equal(kp, kp2)
