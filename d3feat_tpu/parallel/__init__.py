@@ -1,2 +1,3 @@
 from d3feat_tpu.parallel.data_parallel import (  # noqa: F401
-    make_dp_train_step, make_mesh, shard_batch, stack_batches)
+    make_dp_train_step, make_mesh, make_resident_dp_train_step,
+    shard_batch, shard_resident, stack_batches)

@@ -10,6 +10,23 @@ the model is far below the sharding threshold for TP/PP).
 Batch-norm under DP: each pair contributes its own masked moments (exactly
 the reference's batch_num=1 semantics per device); the running stats are
 updated with the across-pair mean of the per-pair moments.
+
+Two step flavors:
+  * `make_dp_train_step` — stacked batches shipped per step (fine when the
+    host sits next to the chips);
+  * `make_resident_dp_train_step` — the cached dataset is SHARDED across
+    device HBM (`shard_resident`), each device slices its own pair by a
+    local index; the host ships ~0.3 MB/step. This is the design for
+    tunneled/remote accelerators and scales dataset memory out with the
+    mesh.
+
+Multi-host scaling (design note; this environment is single-process): each
+host process builds/caches only its shard of the pair list (shard by
+`jax.process_index()` over the sorted pair keys), `device_put`s it to its
+addressable devices, and assembles the global resident arrays with
+`jax.make_array_from_process_local_data` under the same NamedSharding; the
+per-step small payloads are per-host as well. Input IO then scales with
+hosts over DCN while gradients ride ICI — no cross-host data-path traffic.
 """
 
 from __future__ import annotations
@@ -110,5 +127,102 @@ def make_dp_train_step(config: Config, mesh: Mesh, axis: str = 'data'
         stacked_batch = jax.tree.map(
             lambda x: jax.device_put(x, sharded), stacked_batch)
         return train_step(state, stacked_batch)
+
+    return run
+
+
+def shard_resident(resident: Dict, mesh: Mesh, axis: str = 'data') -> Dict:
+    """Shard a stacked cached dataset (data/cache.stacked_pyramids) along
+    its pair axis across device HBM: with D devices each holds n_pairs/D
+    pairs — dataset memory scales OUT with the mesh instead of being
+    replicated. Pair counts must divide the mesh size (pad by repeating
+    pairs if needed)."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), resident)
+
+
+def make_resident_dp_train_step(config: Config, mesh: Mesh,
+                                axis: str = 'data') -> Callable:
+    """Device-resident data-parallel train step.
+
+    Combines the two scalable pieces:
+      * the cached dataset is SHARDED across the mesh (`shard_resident`);
+        each device samples pairs from its own shard — no batch shipping,
+        no cross-device gathers on the data path;
+      * gradients/metrics/BN moments are `pmean`ed over ICI inside a
+        `shard_map`; every device applies the identical update to its
+        replicated state.
+
+    step(state, resident_sharded, small) -> (state, metrics), where small
+    is a [D, ...]-stacked pytree of per-device payloads (pair_idx LOCAL to
+    each device's shard, sampled correspondences, augmentation state).
+    """
+    from d3feat_tpu.train.trainer import weight_l2
+    model = KPFCNN(config)
+    tx = make_optimizer(config)
+
+    def per_pair_loss(params, batch_stats, kpoints, batch):
+        variables = {'params': params, 'batch_stats': batch_stats,
+                     'kpoints': kpoints}
+        (desc, scores), mutated = model.apply(
+            variables, batch['pyramid'], training=True,
+            mutable=['batch_stats'])
+        anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
+        losses = d3feat_loss(
+            desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
+            batch['keypts_dists'], batch['corr_valid'],
+            safe_radius=config.safe_radius,
+            pos_margin=config.pos_margin,
+            neg_margin=config.neg_margin,
+            log_scale=config.log_scale,
+            det_weight=config.det_loss_weight,
+            keypts_num=config.keypts_num,
+            loss_type=config.loss_type)
+        reg = config.weights_decay * weight_l2(params)
+        losses['reg_loss'] = reg
+        losses['total'] = losses['loss'] + reg
+        return losses['loss'] + reg, (losses, mutated['batch_stats'])
+
+    def device_fn(state: TrainState, shard, small):
+        # leading dim of `small` leaves is this device's slice (size 1)
+        idx = small['pair_idx'][0]
+        pyramid = jax.tree.map(lambda x: x[idx], shard)
+        pyramid['aug_rot'] = small['aug_rot'][0]
+        pyramid['aug_key'] = small['aug_key'][0]
+        batch = {'pyramid': pyramid,
+                 'anc_inds': small['anc_inds'][0],
+                 'pos_inds': small['pos_inds'][0],
+                 'corr_valid': small['corr_valid'][0],
+                 'keypts_dists': small['keypts_dists'][0]}
+        grad_fn = jax.value_and_grad(per_pair_loss, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.kpoints, batch)
+        grads = jax.lax.pmean(grads, axis)
+        metrics = jax.lax.pmean(metrics, axis)
+        new_bs = jax.lax.pmean(new_bs, axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        import optax
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, kpoints=state.kpoints,
+                               opt_state=new_opt)
+        return new_state, metrics
+
+    mapped = jax.shard_map(
+        device_fn, mesh=mesh,
+        in_specs=(P(), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False)
+    step = jax.jit(mapped)
+
+    replicated = NamedSharding(mesh, P())
+    small_sharding = NamedSharding(mesh, P(axis))
+
+    def run(state, resident_sharded, small_stacked):
+        state = jax.device_put(state, replicated)
+        small = jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), small_sharding),
+            small_stacked)
+        return step(state, resident_sharded, small)
 
     return run

@@ -167,7 +167,7 @@ def dma_gather_bench(idx_np):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_rows // BLOCK,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((BLOCK, C),
                                    lambda i, idx: (i, 0),
                                    memory_space=pltpu.VMEM),

@@ -77,3 +77,71 @@ def test_dp_grads_replicated(rng):
     shards = [np.asarray(s.data) for s in leaf.addressable_shards]
     for s in shards[1:]:
         np.testing.assert_array_equal(shards[0], s)
+
+
+@pytest.mark.slow
+def test_resident_dp_matches_dp(rng):
+    """Resident-DP (dataset sharded across device HBM, local pair slicing,
+    pmean grads) computes the same update as the stacked-batch DP step
+    given the same pairs + augmentation."""
+    from d3feat_tpu.data.cache import PairPyramidCache
+    from d3feat_tpu.parallel.data_parallel import (
+        make_dp_train_step, make_mesh, make_resident_dp_train_step,
+        shard_resident, stack_batches)
+    from test_train import synthetic_pair, tiny_cfg
+
+    n_dev = 4
+    cfg = tiny_cfg()
+    cache = PairPyramidCache(cfg)
+    base_rng = np.random.default_rng(0)
+    for i in range(n_dev):
+        anc, pos, corr = synthetic_pair(np.random.default_rng(i), n=250)
+        cache.add_pair(anc, pos, corr)
+
+    mesh = make_mesh(n_dev)
+    resident = shard_resident(cache.stacked_pyramids(), mesh)
+
+    # device d must see ITS pair: shard d holds global pair d; sample
+    # until the pair matches, then make the index local to the 1-pair shard
+    smalls = []
+    for d in range(n_dev):
+        r = np.random.default_rng(100 + d)
+        # force pair d then make it local
+        while True:
+            s = cache.sample_small_batch(r)
+            if int(s['pair_idx']) == d:
+                break
+        s['pair_idx'] = np.int32(0)
+        smalls.append((d, s))
+
+    small_stacked = jax.tree.map(lambda *xs: np.stack(xs),
+                                 *[s for _, s in smalls])
+
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    from d3feat_tpu.train.trainer import create_train_state
+    state = create_train_state(cfg, variables)
+
+    rstep = make_resident_dp_train_step(cfg, mesh)
+    new_state, metrics = rstep(state, resident, small_stacked)
+    assert np.isfinite(float(metrics['total']))
+
+    # equivalent stacked-batch DP
+    batches = []
+    for d, s in smalls:
+        pyr = dict(cache._pairs[d]['pyramid'])
+        pyr['aug_rot'] = s['aug_rot']
+        pyr['aug_key'] = s['aug_key']
+        batches.append({'pyramid': pyr, 'anc_inds': s['anc_inds'],
+                        'pos_inds': s['pos_inds'],
+                        'corr_valid': s['corr_valid'],
+                        'keypts_dists': s['keypts_dists']})
+    dp_step = make_dp_train_step(cfg, mesh)
+    new_state2, metrics2 = dp_step(state, stack_batches(batches))
+    np.testing.assert_allclose(float(metrics['total']),
+                               float(metrics2['total']), rtol=1e-5)
+    # pmean-inside-shard_map vs vmap+mean reduce in different orders;
+    # updates match to f32 reduction noise
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(new_state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4)

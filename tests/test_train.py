@@ -47,14 +47,27 @@ def synthetic_pair(rng, n=300):
     return anc, pos, corr
 
 
-@pytest.mark.slow
-def test_train_step_decreases_loss(rng):
+# Shared across this module's slow tests: one compiled train step + one
+# model init (jit caching is per-closure, so sharing the closures is what
+# actually removes the recompiles).
+@pytest.fixture(scope='module')
+def shared():
     cfg = tiny_cfg()
+    rng = np.random.default_rng(0)
     anc, pos, corr = synthetic_pair(rng)
     batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
     _, variables = init_kpfcnn(cfg, batch['pyramid'])
-    state = create_train_state(cfg, variables)
-    step = make_train_step(cfg)
+    return {
+        'cfg': cfg, 'batch': batch, 'variables': variables,
+        'step': make_train_step(cfg),
+    }
+
+
+@pytest.mark.slow
+def test_train_step_decreases_loss(shared):
+    cfg, batch = shared['cfg'], shared['batch']
+    state = create_train_state(cfg, shared['variables'])
+    step = shared['step']
 
     state, m0 = step(state, batch)
     losses = [float(m0['total'])]
@@ -69,13 +82,10 @@ def test_train_step_decreases_loss(rng):
 
 
 @pytest.mark.slow
-def test_batch_stats_update(rng):
-    cfg = tiny_cfg()
-    anc, pos, corr = synthetic_pair(rng)
-    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
-    _, variables = init_kpfcnn(cfg, batch['pyramid'])
-    state = create_train_state(cfg, variables)
-    step = make_train_step(cfg)
+def test_batch_stats_update(shared):
+    cfg, batch = shared['cfg'], shared['batch']
+    state = create_train_state(cfg, shared['variables'])
+    step = shared['step']
     new_state, _ = step(state, batch)
     before = jax.tree.leaves(state.batch_stats)
     after = jax.tree.leaves(new_state.batch_stats)
@@ -84,12 +94,11 @@ def test_batch_stats_update(rng):
 
 
 @pytest.mark.slow
-def test_eval_step_and_forward(rng):
-    cfg = tiny_cfg()
-    anc, pos, corr = synthetic_pair(rng)
-    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
-    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+def test_eval_step_and_forward(shared):
+    cfg, batch = shared['cfg'], shared['batch']
+    variables = shared['variables']
     state = create_train_state(cfg, variables)
+    anc, _, _ = synthetic_pair(np.random.default_rng(0))
     metrics = make_eval_step(cfg)(state, batch)
     assert np.isfinite(float(metrics['loss']))
     fwd = make_forward(cfg)
@@ -138,13 +147,11 @@ def test_weight_l2_selects_weights_only():
 
 
 @pytest.mark.slow
-def test_checkpoint_roundtrip(rng, tmp_path):
-    cfg = tiny_cfg()
-    anc, pos, corr = synthetic_pair(rng)
-    batch = make_training_batch(anc, pos, corr, cfg, rng=rng, augment=False)
-    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+def test_checkpoint_roundtrip(shared, tmp_path):
+    cfg, batch = shared['cfg'], shared['batch']
+    variables = shared['variables']
     state = create_train_state(cfg, variables)
-    step = make_train_step(cfg)
+    step = shared['step']
     state, _ = step(state, batch)
 
     path = os.path.join(tmp_path, 'snap-0')
