@@ -137,11 +137,15 @@ class PairPyramidCache:
         return jax.tree.map(lambda *xs: np.stack(xs), *pyrs)
 
     def sample_small_batch(self, rng: np.random.Generator,
-                           augment: bool = True) -> Dict:
+                           augment: bool = True,
+                           pair_idx: Optional[int] = None) -> Dict:
         """The per-step host payload for resident mode: pair index,
-        sampled correspondences, augmentation state (~0.3 MB)."""
+        sampled correspondences, augmentation state (~0.3 MB). Pass
+        `pair_idx` to pin the pair (multi-host samplers assign pairs to
+        device blocks themselves)."""
         cfg = self.config
-        idx = int(rng.integers(len(self._pairs)))
+        idx = (int(rng.integers(len(self._pairs))) if pair_idx is None
+               else int(pair_idx))
         pair = self._pairs[idx]
         m = cfg.keypts_num
         corr = pair['corr']

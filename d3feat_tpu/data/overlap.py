@@ -81,3 +81,40 @@ def generate_training_pairs(
     with open(kp_file, 'wb') as fh:
         pickle.dump(keypts, fh)
     return pts_file, kp_file
+
+
+def _main():
+    """CLI parity with the reference's `datasets/cal_overlap.py` script:
+    fragments (.ply) + 4x4 poses (.txt) -> training-pair pickles."""
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument('--fragments', required=True,
+                    help='dir of {id}.ply fragments (camera frame)')
+    ap.add_argument('--poses', required=True,
+                    help='dir of {id}.txt 4x4 camera-to-world poses')
+    ap.add_argument('--out', required=True)
+    ap.add_argument('--split', default='train')
+    ap.add_argument('--voxel-size', type=float, default=0.03)
+    ap.add_argument('--min-overlap', type=float, default=0.30)
+    args = ap.parse_args()
+
+    from d3feat_tpu.data.ply import read_ply
+    fragments, poses = {}, {}
+    for name in sorted(os.listdir(args.fragments)):
+        if not name.endswith('.ply'):
+            continue
+        fid = name[:-4]
+        data = read_ply(os.path.join(args.fragments, name))
+        fragments[fid] = np.stack([data['x'], data['y'], data['z']], axis=1)
+        poses[fid] = np.loadtxt(os.path.join(args.poses, fid + '.txt'),
+                                dtype=np.float64).reshape(4, 4)
+    pts_file, kp_file = generate_training_pairs(
+        fragments, poses, args.out, split=args.split,
+        voxel_size=args.voxel_size,
+        match_radius=args.voxel_size * 1.5,
+        min_overlap=args.min_overlap)
+    print(f'wrote {pts_file}\nwrote {kp_file}')
+
+
+if __name__ == '__main__':
+    _main()

@@ -220,9 +220,15 @@ def make_resident_dp_train_step(config: Config, mesh: Mesh,
 
     def run(state, resident_sharded, small_stacked):
         state = jax.device_put(state, replicated)
-        small = jax.tree.map(
-            lambda x: jax.device_put(np.asarray(x), small_sharding),
-            small_stacked)
+
+        def place(x):
+            # multi-host samplers pre-assemble global sharded arrays
+            # (parallel/multihost.py); only host numpy needs placing
+            if isinstance(x, jax.Array):
+                return x
+            return jax.device_put(np.asarray(x), small_sharding)
+
+        small = jax.tree.map(place, small_stacked)
         return step(state, resident_sharded, small)
 
     return run

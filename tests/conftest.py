@@ -16,6 +16,14 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache: the suite is compile-dominated (every jitted
+# train-step variant recompiles ~30-60 s on CPU); warm runs skip all of it.
+_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
+jax.config.update('jax_persistent_cache_enable_xla_caches',
+                  'xla_gpu_per_fusion_autotune_cache_dir')
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
