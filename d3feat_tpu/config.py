@@ -175,6 +175,13 @@ class Config:
     def num_layers(self) -> int:
         return _num_layers(self.architecture)
 
+    @property
+    def lr_decays(self) -> Dict[int, float]:
+        """Reference-API-shaped per-epoch decay dict
+        (`training_3DMatch.py:105-107`); our schedule is the constant
+        `lr_decay` multiplier."""
+        return {e: self.lr_decay for e in range(1, self.max_epoch)}
+
     def replace(self, **kw) -> 'Config':
         return dataclasses.replace(self, **kw)
 
@@ -223,6 +230,21 @@ class Config:
                     continue
                 name, _, raw = line.partition('=')
                 name, raw = name.strip(), raw.strip()
+                if name == 'lr_decay_epochs':
+                    # reference schedule format "1:d1 2:d2 ..."
+                    # (utils/config.py:262-264); shipped configs use one
+                    # constant multiplier -> our scalar lr_decay
+                    decays = dict(
+                        (int(e), float(d))
+                        for e, d in (item.split(':') for item in raw.split()))
+                    vals = set(decays.values())
+                    if len(vals) > 1:
+                        raise ValueError(
+                            'non-constant lr_decay_epochs schedules are not '
+                            'supported (every shipped reference config is '
+                            'constant)')
+                    kw['lr_decay'] = vals.pop()
+                    continue
                 if name not in types:
                     continue
                 default = getattr(defaults, name)
