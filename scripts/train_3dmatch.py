@@ -22,7 +22,13 @@ def main():
     ap.add_argument('--epochs', type=int, default=None)
     ap.add_argument('--steps', type=int, default=None)
     ap.add_argument('--restore', default=None,
-                    help='snapshot dir to resume from')
+                    help='log dir (resumes latest snap-N) or a specific '
+                         'snap-N path (reference restore_snap analog, '
+                         'utils/trainer.py:97-104)')
+    ap.add_argument('--lr', type=float, default=None,
+                    help='override learning_rate (the shipped reference '
+                         'models trained at 0.05; the reference script '
+                         'default is 0.1)')
     ap.add_argument('--max-points', type=int, default=None,
                     help='override the stacked-pair point capacity')
     ap.add_argument('--fdim', type=int, default=None,
@@ -65,6 +71,8 @@ def main():
         cfg = cfg.replace(first_features_dim=args.fdim)
     if args.val_size is not None:
         cfg = cfg.replace(validation_size=args.val_size)
+    if args.lr is not None:
+        cfg = cfg.replace(learning_rate=args.lr)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)
@@ -94,7 +102,11 @@ def main():
     if args.restore:
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
                                                  restore_checkpoint)
-        state = restore_checkpoint(latest_snapshot(args.restore), state)
+        snap = args.restore
+        if not os.path.basename(snap.rstrip('/')).startswith('snap-'):
+            snap = latest_snapshot(snap)
+        print(f'restoring {snap}', flush=True)
+        state = restore_checkpoint(snap, state)
 
     if args.resident:
         import json
@@ -117,9 +129,15 @@ def main():
         log_f = open(os.path.join(save_dir, 'training.txt'), 'a')
         met_f = open(os.path.join(save_dir, 'metrics.jsonl'), 'a')
         epochs = args.epochs or cfg.max_epoch
+        # resume numbering from the restored optimizer step so the lr
+        # schedule, logs and snap-N names stay continuous
+        epoch0 = int(state.step) // cfg.epoch_steps
+        if epoch0:
+            print(f'resuming at epoch {epoch0} (step {int(state.step)})',
+                  flush=True)
         t_last = _t.perf_counter()
         try:
-            for epoch in range(epochs):
+            for epoch in range(epoch0, epochs):
                 for i in range(cfg.epoch_steps):
                     small = cache.sample_small_batch(rng)
                     state, metrics = step_fn(state, resident, small)
