@@ -1,0 +1,342 @@
+"""On-device geometry: grid-hash radius search + voxel subsampling in XLA.
+
+TPU-native replacement for the *host* pyramid build on the inference path.
+The reference builds its pyramid on CPU inside tf.data map functions
+(`datasets/common.py:1325-1397`) with nanoflann KD-trees
+(`tf_custom_ops/tf_neighbors/neighbors/neighbors.cpp:211-332`); our host
+port (`ops/neighbors.py`, `native/src/geometry.cpp`) costs ~1.2 s per 100k
+fragment on one CPU core while the network forward is ~49 ms on the TPU —
+dense extraction is host-bound.  This module moves the search onto the
+chip with the same semantics so a raw cloud can go straight to
+descriptors without any host geometry.
+
+Design (everything shape-static, jit-compatible):
+
+  * **Grid hash, no tree.**  Cell size == search radius; the 27 cells
+    around a query's cell cover every possible in-radius neighbor.  Cell
+    keys pack (cx, cy, cz) relative to the cloud min corner into one int32
+    (10 bits/axis -> grids up to 1024^3 cells; larger extents overflow and
+    are reported, see below).  Keys are z-minor, so the 27-cell probe is
+    9 *contiguous* key ranges — the same layout trick as the native host
+    search v2 (`native/src/geometry.cpp`).
+  * **Sort-and-searchsorted layout.**  Supports are sorted by cell key
+    (`argsort`); any cell run is found with two `searchsorted` calls.
+  * **Compacted per-cell candidate table.**  All queries in one cell share
+    one candidate set (their 27 surrounding cells).  For each *occupied*
+    cell the 9 z-runs are packed head-to-tail (exclusive cumsum of run
+    lengths) into a fixed `cand_cap`-wide row, so table slots track the
+    *actual* candidate count (~27 * mean-occupancy) instead of
+    27 * max-cell-occupancy.  This matters because XLA row-gather runs at
+    a fixed ~250M rows/s (PERF_NOTES.md): the table gather is the
+    dominant cost of the whole search, and compaction cuts its row count
+    ~3x.  Queries then expand their cell's table row with one wide-row
+    gather (cheap: few rows, many bytes).
+  * **Distance + top-k on device.**  Squared distances use the exact
+    elementwise form `sum((s - q)^2)` (not the |q|^2-2qs matmul) to keep
+    f32 rounding aligned with the host implementation; selection is
+    `lax.top_k` over negated distances, which returns ascending-distance
+    neighbors like the reference's sort (`neighbors.cpp:319-325`).
+    `d2 <= r2` inclusive, matching `native/src/geometry.cpp:206`.
+  * **Static caps + overflow flags.**  Occupied-cell count and per-cell
+    candidate count get static capacities (calibrated like the level
+    capacities elsewhere in this repo).  Any overflow is *detected on
+    device* and returned as a boolean so the caller can retry with bigger
+    caps — the same contract as `runtime.tester`'s bucketed retry.
+  * **One table serves three searches.**  Within a pyramid level l, conv
+    (queries = points_l), pool (queries = points_{l+1}) and the upsample
+    *into* level l from l+1 (radius 2*r_l == r_{l+1}, i.e. level l+1's
+    table) all probe the same support set at the same radius, so each
+    level builds exactly one grid index + one candidate table
+    (`data/pyramid_device.py`).
+
+Semantics parity (golden-tested in tests/test_device_grid.py):
+  * K nearest supports within `radius`, ascending by distance; ragged rows
+    padded with shadow index == the support *capacity* (the pyramid
+    convention of `data/pyramid.py`, where the shadow row is appended at
+    the capacity, not the dynamic count).
+  * Optional relative vectors (support - query) quantized to int16 by
+    radius/32767, shadow slots 32767 (`ops/neighbors.py:108-155`).
+  * Voxel subsampling emits the barycenter of every occupied `dl` cell
+    (`cpp_wrappers/.../grid_subsampling.cpp:5-97`); cell order is
+    key-sorted (the reference's unordered_map order is nondeterministic,
+    so any self-consistent order is equivalent — documented in SURVEY §2,
+    N2).  Barycenters accumulate in f32 on device (host uses f64); the
+    difference is ~1e-6 m at 3DMatch scales.
+
+Single-cloud only (B == 1): this path serves dense test-time extraction,
+which the reference also runs one fragment at a time
+(`utils/tester.py:177-233`).  Training keeps the host/cached pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PAD_POS = 1e6
+_BITS = 10                      # cells per axis = 2^_BITS
+_GRID = 1 << _BITS
+_KEY_INVALID = np.int32(1 << (3 * _BITS))   # sorts after every real key
+
+
+class CellTable(NamedTuple):
+    """Grid-sorted supports plus a compacted candidate table per occupied
+    cell.  `radius` is both the cell edge and the max supported search
+    radius."""
+    sorted_xyz: jnp.ndarray     # [M, 3] f32, pads at 1e6 sort last
+    order: jnp.ndarray          # [M] int32: sorted slot -> original index
+    origin: jnp.ndarray         # [3] f32 min corner of valid points
+    inv_cell: jnp.ndarray       # scalar f32, 1 / radius
+    ckey: jnp.ndarray           # [C_cap] int32 keys of occupied cells,
+                                #   ascending, pads = _KEY_INVALID
+    cand_pos: jnp.ndarray       # [C_cap, cand_cap] sorted-support positions
+    cand_xyz: jnp.ndarray       # [C_cap, cand_cap, 3] their coordinates
+    cand_valid: jnp.ndarray     # [C_cap, cand_cap] bool
+    ok: jnp.ndarray             # scalar bool: no cap overflowed
+
+
+def _cell_coords(points: jnp.ndarray, origin: jnp.ndarray,
+                 inv_cell: jnp.ndarray) -> jnp.ndarray:
+    # (p - origin) * (1/cell): same f32 form as native/src/geometry.cpp:117
+    return jnp.floor((points - origin) * inv_cell).astype(jnp.int32)
+
+
+def _pack(cc: jnp.ndarray) -> jnp.ndarray:
+    return (cc[..., 0] << (2 * _BITS)) | (cc[..., 1] << _BITS) | cc[..., 2]
+
+
+def _masked_origin(points: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    big = jnp.where(valid[:, None], points, jnp.inf)
+    origin = jnp.min(big, axis=0)
+    return jnp.where(jnp.isfinite(origin), origin, 0.0)
+
+
+def build_cell_table(
+    points: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    radius: float,
+    *,
+    cell_cap: int,
+    cand_cap: int,
+    seeds: Optional[jnp.ndarray] = None,
+    n_seeds: Optional[jnp.ndarray] = None,
+) -> CellTable:
+    """Index `points[:n_valid]` (pads at 1e6 beyond) for radius search.
+
+    Args:
+      points: [M, 3] f32 stacked supports, padded at 1e6.
+      n_valid: dynamic valid count.
+      radius: search radius == cell size (static).
+      cell_cap: max occupied cells (static; overflow -> ok=False).
+      cand_cap: max candidates (supports in the surrounding 27 cells) per
+        cell (static; overflow -> ok=False).
+      seeds: optional [E, 3] future *query* points whose cells must get
+        table rows even if no support lands in them (pool/upsample queries
+        live on a differently-anchored grid, so their cells can be empty
+        of supports while adjacent cells are not).
+      n_seeds: dynamic valid seed count; None means "valid = coordinate
+        below the 1e6 pad" (lets callers concatenate padded arrays).
+    """
+    m = points.shape[0]
+    valid = jnp.arange(m) < n_valid
+    origin = _masked_origin(points, valid)
+    if seeds is not None:
+        # the grid must also cover future queries (e.g. fine points lie
+        # below the min corner of the coarse barycenters they query)
+        if n_seeds is None:
+            sv = jnp.all(jnp.abs(seeds) < _PAD_POS * 0.5, axis=-1)
+        else:
+            sv = jnp.arange(seeds.shape[0]) < n_seeds
+        origin = jnp.minimum(origin, _masked_origin(seeds, sv))
+    inv_cell = jnp.float32(1.0) / jnp.float32(radius)
+    cc = _cell_coords(points, origin, inv_cell)
+    in_grid = jnp.all((cc >= 0) & (cc < _GRID), axis=-1)
+    ok = jnp.all(~valid | in_grid)
+    key = jnp.where(valid & in_grid, _pack(jnp.clip(cc, 0, _GRID - 1)),
+                    _KEY_INVALID)
+    order = jnp.argsort(key).astype(jnp.int32)
+    skey = key[order]
+    sxyz = points[order]
+
+    # table cells = unique cells of supports (+ seed queries)
+    if seeds is None:
+        allkey = skey                                        # already sorted
+    else:
+        svalid = sv
+        scc = _cell_coords(seeds, origin, inv_cell)
+        s_in = jnp.all((scc >= 0) & (scc < _GRID), axis=-1)
+        # out-of-grid seeds are NOT an overflow here: the search reports
+        # them itself (their queries get q_in False).
+        ekey = jnp.where(svalid & s_in, _pack(jnp.clip(scc, 0, _GRID - 1)),
+                         _KEY_INVALID)
+        allkey = jnp.sort(jnp.concatenate([skey, ekey]))
+    v = allkey != _KEY_INVALID
+    first = jnp.concatenate([v[:1], v[1:] & (allkey[1:] != allkey[:-1])])
+    cid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_cells = jnp.max(jnp.where(v, cid + 1, 0))
+    ok &= n_cells <= cell_cap
+    ckey = jnp.full((cell_cap,), _KEY_INVALID, jnp.int32)
+    ckey = ckey.at[jnp.where(v & first, cid, cell_cap)].set(
+        allkey, mode='drop')
+
+    # 9 (dx, dy) probes per occupied cell, each a contiguous z-run
+    cx = ckey >> (2 * _BITS)
+    cy = (ckey >> _BITS) & (_GRID - 1)
+    cz = ckey & (_GRID - 1)
+    dx, dy = jnp.meshgrid(jnp.arange(-1, 2), jnp.arange(-1, 2),
+                          indexing='ij')
+    px = cx[:, None] + dx.ravel()[None, :]                   # [C, 9]
+    py = cy[:, None] + dy.ravel()[None, :]
+    p_in = ((px >= 0) & (px < _GRID) & (py >= 0) & (py < _GRID)
+            & (ckey != _KEY_INVALID)[:, None])
+    zlo = jnp.maximum(cz - 1, 0)[:, None]
+    zhi = jnp.minimum(cz + 1, _GRID - 1)[:, None]
+    base = (px << (2 * _BITS)) | (py << _BITS)
+    lo = jnp.where(p_in, base | zlo, 0)
+    hi = jnp.where(p_in, base | zhi, -1)
+    start = jnp.searchsorted(skey, lo, side='left')
+    end = jnp.searchsorted(skey, hi, side='right')
+    run = jnp.maximum(end - start, 0)                        # [C, 9]
+
+    # compact the 9 runs head-to-tail into cand_cap slots
+    off = jnp.cumsum(run, axis=1) - run                      # exclusive
+    total = off[:, -1] + run[:, -1]
+    ok &= jnp.max(total) <= cand_cap
+    t = jnp.arange(cand_cap)
+    # probe index covering slot t: rightmost probe with off <= t
+    probe = jax.vmap(lambda o: jnp.searchsorted(o, t, side='right') - 1)(
+        off)                                                 # [C, cand_cap]
+    probe = jnp.clip(probe, 0, 8)
+    pos = (jnp.take_along_axis(start, probe, axis=1)
+           + (t[None, :] - jnp.take_along_axis(off, probe, axis=1)))
+    cand_valid = t[None, :] < jnp.minimum(total, cand_cap)[:, None]
+    pos = jnp.clip(pos, 0, m - 1)
+    cand_xyz = sxyz[pos]                                     # [C, cap, 3]
+    # invalid slots get a far-away coordinate so d2 can never pass
+    cand_xyz = jnp.where(cand_valid[..., None], cand_xyz, 2 * _PAD_POS)
+    return CellTable(sxyz, order, origin, inv_cell, ckey,
+                     pos.astype(jnp.int32), cand_xyz, cand_valid, ok)
+
+
+def radius_search(
+    table: CellTable,
+    queries: jnp.ndarray,
+    n_q: jnp.ndarray,
+    radius: float,
+    max_neighbors: int,
+    *,
+    with_rel: bool = False,
+    chunk: int = 16384,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+    """Fixed-degree radius search against a prebuilt :class:`CellTable`.
+
+    `radius` must equal the table's cell size (the candidate sets only
+    cover that ball).  Queries in cells with no support (or out of grid)
+    get all-shadow rows; shadow index == len(table.sorted_xyz) (support
+    capacity).  Rows beyond `n_q` are all-shadow.
+
+    Returns (idx [Nq, K] int32, rel int16 [Nq, K, 3] | None, ok bool).
+    """
+    nq_cap = queries.shape[0]
+    ms = table.sorted_xyz.shape[0]
+    shadow = ms
+    r2 = jnp.float32(radius) ** 2
+    qvalid = jnp.arange(nq_cap) < n_q
+
+    qcc = _cell_coords(queries, table.origin, table.inv_cell)
+    q_in = jnp.all((qcc >= 0) & (qcc < _GRID), axis=-1)
+    ok = table.ok & jnp.all(~qvalid | q_in)
+    qkey = jnp.where(qvalid & q_in, _pack(jnp.clip(qcc, 0, _GRID - 1)),
+                     _KEY_INVALID)
+    rank = jnp.searchsorted(table.ckey, qkey, side='left')
+    rank = jnp.clip(rank, 0, table.ckey.shape[0] - 1)
+    hit_cell = table.ckey[rank] == qkey                      # [Nq]
+
+    def one_chunk(args):
+        q_xyz, rk, hc = args
+        cand = table.cand_xyz[rk]                            # [c, cap, 3]
+        d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
+        good = (d2 <= r2) & hc[:, None]
+        neg = jnp.where(good, -d2, -jnp.inf)
+        val, sel = jax.lax.top_k(neg, max_neighbors)
+        found = val > -jnp.inf
+        pos = jnp.take_along_axis(table.cand_pos[rk], sel, axis=1)
+        idx = jnp.where(found, table.order[pos], shadow)
+        # host tie-break parity: ascending (d2, original index) — the
+        # native search packs (d2_bits << 32) | index (geometry.cpp);
+        # top_k's tie order is candidate-slot order, so re-sort ties by
+        # index with two stable argsorts (exact equidistance is common:
+        # pool queries are 2-point-voxel midpoints).
+        o1 = jnp.argsort(idx, axis=1, stable=True)
+        o2 = jnp.argsort(jnp.take_along_axis(-val, o1, axis=1),
+                         axis=1, stable=True)
+        reord = jnp.take_along_axis(o1, o2, axis=1)
+        idx = jnp.take_along_axis(idx, reord, axis=1)
+        sel = jnp.take_along_axis(sel, reord, axis=1)
+        found = idx < shadow
+        if with_rel:
+            sel_xyz = jnp.take_along_axis(cand, sel[..., None], axis=1)
+            diff = (sel_xyz - q_xyz[:, None, :]) * (32767.0 / radius)
+            diff = jnp.clip(jnp.rint(diff), -32767, 32767)
+            rel = jnp.where(found[..., None], diff.astype(jnp.int16),
+                            np.int16(32767))
+        else:
+            rel = jnp.zeros((q_xyz.shape[0], max_neighbors, 3), jnp.int16)
+        return idx, rel
+
+    if nq_cap % chunk == 0 and nq_cap > chunk:
+        qs = queries.reshape(-1, chunk, 3)
+        rks = rank.reshape(-1, chunk)
+        hcs = hit_cell.reshape(-1, chunk)
+        idx, rel = jax.lax.map(one_chunk, (qs, rks, hcs))
+        idx = idx.reshape(nq_cap, max_neighbors)
+        rel = rel.reshape(nq_cap, max_neighbors, 3)
+    else:
+        idx, rel = one_chunk((queries, rank, hit_cell))
+
+    idx = jnp.where(qvalid[:, None], idx, shadow)
+    if not with_rel:
+        return idx, None, ok
+    rel = jnp.where(qvalid[:, None, None], rel, np.int16(32767))
+    return idx, rel, ok
+
+
+def grid_subsample_device(
+    points: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    sample_dl: float,
+    out_cap: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Voxel-barycenter subsampling on device.
+
+    Returns (sub_points [out_cap, 3] padded at 1e6, n_sub, ok).  Output
+    order is cell-key order (see module docstring on ordering parity).
+    """
+    m = points.shape[0]
+    valid = jnp.arange(m) < n_valid
+    origin = _masked_origin(points, valid)
+    inv_cell = jnp.float32(1.0) / jnp.float32(sample_dl)
+    cc = _cell_coords(points, origin, inv_cell)
+    in_grid = jnp.all((cc >= 0) & (cc < _GRID), axis=-1)
+    ok = jnp.all(~valid | in_grid)
+    key = jnp.where(valid & in_grid, _pack(jnp.clip(cc, 0, _GRID - 1)),
+                    _KEY_INVALID)
+    order = jnp.argsort(key)
+    sk = key[order]
+    v = sk != _KEY_INVALID
+    first = jnp.concatenate([v[:1], v[1:] & (sk[1:] != sk[:-1])])
+    cid = jnp.cumsum(first.astype(jnp.int32)) - 1
+    n_sub = jnp.max(jnp.where(v, cid + 1, 0))
+    ok &= n_sub <= out_cap
+    tgt = jnp.where(v & (cid < out_cap), cid, out_cap)
+    sums = jnp.zeros((out_cap + 1, 3), jnp.float32).at[tgt].add(
+        points[order], mode='drop')
+    cnts = jnp.zeros((out_cap + 1,), jnp.float32).at[tgt].add(
+        1.0, mode='drop')
+    sub = sums[:out_cap] / jnp.maximum(cnts[:out_cap, None], 1.0)
+    have = jnp.arange(out_cap) < n_sub
+    sub = jnp.where(have[:, None], sub, _PAD_POS)
+    return sub, n_sub, ok

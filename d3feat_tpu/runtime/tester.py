@@ -38,14 +38,28 @@ def _bucket(n: int, multiple: int) -> int:
 
 
 class DescriptorExtractor:
-    """Dense per-point descriptors + detection scores for single fragments."""
+    """Dense per-point descriptors + detection scores for single fragments.
+
+    With ``device_pyramid=True`` the multiscale pyramid itself is built on
+    the accelerator (`data/pyramid_device.py`): the host ships one padded
+    point array per fragment and gets descriptors back — no host geometry
+    in the loop (the host build costs ~1.2 s per 100k fragment on one CPU
+    core).  Static-capacity overflows are detected on device and retried
+    with grown caps; anything still overflowing falls back to the host
+    builder, so results never silently degrade.
+    """
+
+    # (cell_ratio, cand_cap) escalation ladder for the device pyramid
+    _DEVICE_GROWTH = ((0.6, 192), (0.9, 320), (1.3, 512))
 
     def __init__(self, config: Config, variables: Dict,
-                 timer: Optional[list] = None):
+                 timer: Optional[list] = None,
+                 device_pyramid: bool = False):
         self.config = config
         self.variables = variables
         self._fns: Dict[int, callable] = {}
         self.timer = timer if timer is not None else []
+        self.device_pyramid = device_pyramid
 
     def _forward_for(self, cap: int):
         if cap not in self._fns:
@@ -76,9 +90,49 @@ class DescriptorExtractor:
             self._fns[key] = (cfg, fwd)
         return self._fns[key]
 
+    def _device_fn(self, cap: int, grow: int):
+        key = ('dev', cap, grow)
+        if key not in self._fns:
+            from d3feat_tpu.data.pyramid_device import build_pyramid_device
+            cell_ratio, cand_cap = self._DEVICE_GROWTH[grow]
+            cfg = self.config.replace(max_points=cap)
+            model = KPFCNN(cfg)
+
+            @jax.jit
+            def fwd(variables, pts, n):
+                pyramid, ok = build_pyramid_device(
+                    pts, n, cfg, cell_ratio=cell_ratio, cand_cap=cand_cap)
+                desc, score = model.apply(variables, pyramid,
+                                          training=False)
+                return desc, score, ok
+
+            self._fns[key] = fwd
+        return self._fns[key]
+
+    def _extract_device(self, points: np.ndarray
+                        ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        n = len(points)
+        cap = _bucket(n, self.config.size_multiple)
+        padded = np.full((cap, 3), 1e6, np.float32)
+        padded[:n] = points
+        for grow in range(len(self._DEVICE_GROWTH)):
+            fwd = self._device_fn(cap, grow)
+            t0 = time.perf_counter()
+            desc, score, ok = fwd(self.variables, padded, np.int32(n))
+            if bool(jax.device_get(ok)):
+                desc = np.asarray(jax.device_get(desc))[:n]
+                score = np.asarray(jax.device_get(score))[:n, 0]
+                self.timer.append(time.perf_counter() - t0)
+                return desc, score
+        return None                       # caller falls back to host build
+
     def extract(self, points: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """points [N,3] -> (descriptors [N,32], scores [N])."""
+        if self.device_pyramid:
+            out = self._extract_device(points)
+            if out is not None:
+                return out
         n = len(points)
         cap = _bucket(n, self.config.size_multiple)
         cfg, fwd = self._forward_for(cap)

@@ -27,6 +27,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='/root/reference/demo_data')
+    ap.add_argument('--device-pyramid', action='store_true',
+                    help='build the multiscale pyramid on the accelerator\n'
+                         '(data/pyramid_device.py) instead of the host')
     ap.add_argument('--snapshot', default=None,
                     help='checkpoint dir (with parameters.txt + snap-N)')
     ap.add_argument('--num-keypts', type=int, default=250)
@@ -79,7 +82,8 @@ def main():
                      'kpoints': state.kpoints}
         print(f'restored {snap}')
 
-    extractor = DescriptorExtractor(cfg, variables)
+    extractor = DescriptorExtractor(cfg, variables,
+                                    device_pyramid=args.device_pyramid)
     os.makedirs(args.out, exist_ok=True)
     results = []
     for i, cloud in enumerate(clouds):

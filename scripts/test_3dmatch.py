@@ -28,6 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='data/3DMatch')
+    ap.add_argument('--device-pyramid', action='store_true',
+                    help='build the multiscale pyramid on the accelerator\n'
+                         '(data/pyramid_device.py) instead of the host')
     ap.add_argument('--snapshot', required=False, default=None)
     default_gt = os.path.join(os.path.dirname(__file__), '..', 'data',
                               'gt_result')
@@ -83,7 +86,8 @@ def main():
                      'batch_stats': state.batch_stats,
                      'kpoints': state.kpoints}
 
-    extractor = DescriptorExtractor(cfg, variables)
+    extractor = DescriptorExtractor(cfg, variables,
+                                    device_pyramid=args.device_pyramid)
     out_dir = generate_descriptors(extractor, dataset.test_fragments(),
                                    args.out, args.experiment)
     print(f'dumped descriptors under {out_dir}')

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='data/ETH')
+    ap.add_argument('--device-pyramid', action='store_true',
+                    help='build the multiscale pyramid on the accelerator\n'
+                         '(data/pyramid_device.py) instead of the host')
     ap.add_argument('--snapshot', default=None)
     ap.add_argument('--out', default='geometric_registration_eth')
     ap.add_argument('--experiment', default='tpu-eth')
@@ -62,7 +65,8 @@ def main():
                      'batch_stats': state.batch_stats,
                      'kpoints': state.kpoints}
 
-    extractor = DescriptorExtractor(cfg, variables)
+    extractor = DescriptorExtractor(cfg, variables,
+                                    device_pyramid=args.device_pyramid)
     out_dir = generate_descriptors(extractor, dataset.test_fragments(),
                                    args.out, args.experiment)
     print(f'dumped ETH descriptors under {out_dir}')

@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--data', default='data/kitti')
+    ap.add_argument('--device-pyramid', action='store_true',
+                    help='build the multiscale pyramid on the accelerator\n'
+                         '(data/pyramid_device.py) instead of the host')
     ap.add_argument('--snapshot', default=None)
     ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--random', action='store_true',
@@ -59,7 +62,8 @@ def main():
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats,
                      'kpoints': state.kpoints}
-    extractor = DescriptorExtractor(cfg, variables)
+    extractor = DescriptorExtractor(cfg, variables,
+                                    device_pyramid=args.device_pyramid)
 
     rng = np.random.default_rng(0)
     os.makedirs(args.cache, exist_ok=True)
