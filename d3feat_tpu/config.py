@@ -148,6 +148,9 @@ class Config:
     momentum: float = 0.98
     lr_decay: float = 0.1 ** (1 / 80)     # per-epoch multiplier (training_3DMatch.py:108)
     grad_clip_norm: float = 100.0         # per-variable clip (utils/trainer.py:130-142)
+    # stability guard with no reference analog: skip updates whose global
+    # grad norm exceeds this (0 = off). See trainer.skip_spike_updates.
+    grad_skip_threshold: float = 0.0
     weights_decay: float = 1e-6           # L2 on conv/unary weights (utils/config.py:137)
     batch_num: int = 1                    # fragment pairs per step
     keypts_num: int = 256                 # correspondences per pair

@@ -95,6 +95,35 @@ def scale_offset_grads(factor: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+def spike_guard(grads, config: Config):
+    """Zero the gradients when their global norm exceeds
+    `config.grad_skip_threshold` (0 = off, reference-parity default).
+
+    Stability guard with no reference analog (the reference's only skip
+    mechanism is the correspondence-count batch skip,
+    `models/KPFCNN_model.py:172-186`): with momentum 0.98 a single spiked
+    gradient keeps pushing for ~50 steps, which reproducibly collapses
+    descriptors to a point (desc_loss pinned at softplus-of-margin,
+    accuracy ~0; seen twice on the synthetic corpus).  The per-variable
+    clip-100 does not stop it — a ~14M-param spike can reach global norm
+    ~1000 with every variable under 100.  Healthy global norms at 3DMatch
+    scale are ~0.3 (p99 0.41), so ~10x p99 = 4.0 is a safe threshold.
+
+    Applied to the raw grads *before* the optimizer (zeroed grads also add
+    nothing to the momentum trace), deliberately NOT as a chain element:
+    the optax chain's state pytree must stay identical whether the guard
+    is on or off so snapshots restore across the setting.
+
+    Returns (guarded_grads, gnorm, skipped?).
+    """
+    gnorm = optax.global_norm(grads)
+    if config.grad_skip_threshold <= 0:
+        return grads, gnorm, jnp.float32(0.0)
+    keep = (gnorm <= config.grad_skip_threshold).astype(jnp.float32)
+    return (jax.tree.map(lambda g: g * keep, grads), gnorm,
+            jnp.float32(1.0) - keep)
+
+
 def make_optimizer(config: Config) -> optax.GradientTransformation:
     """offset-scale(0.1) -> clip(100) -> momentum(0.98) -> -lr(epoch)."""
 
@@ -184,6 +213,8 @@ def make_train_step(config: Config) -> Callable:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, state.kpoints, batch)
+        grads, metrics['gnorm'], metrics['skipped'] = spike_guard(
+            grads, config)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
@@ -250,6 +281,8 @@ def make_resident_train_step(config: Config) -> Callable:
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, new_bs)), grads = grad_fn(
             state.params, state.batch_stats, state.kpoints, batch)
+        grads, metrics['gnorm'], metrics['skipped'] = spike_guard(
+            grads, config)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,

@@ -29,6 +29,11 @@ def main():
                     help='override learning_rate (the shipped reference '
                          'models trained at 0.05; the reference script '
                          'default is 0.1)')
+    ap.add_argument('--grad-skip-threshold', type=float, default=None,
+                    help='skip updates whose global grad norm exceeds '
+                         'this (stability guard, see trainer.'
+                         'skip_spike_updates; healthy p99 is ~0.4 at '
+                         '3DMatch scale — 4.0 is a safe setting)')
     ap.add_argument('--max-points', type=int, default=None,
                     help='override the stacked-pair point capacity')
     ap.add_argument('--fdim', type=int, default=None,
@@ -73,6 +78,8 @@ def main():
         cfg = cfg.replace(validation_size=args.val_size)
     if args.lr is not None:
         cfg = cfg.replace(learning_rate=args.lr)
+    if args.grad_skip_threshold is not None:
+        cfg = cfg.replace(grad_skip_threshold=args.grad_skip_threshold)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)

@@ -161,3 +161,32 @@ def test_checkpoint_roundtrip(shared, tmp_path):
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert latest_snapshot(str(tmp_path)) == path
+
+
+def test_spike_guard_zeroes_only_outliers_and_keeps_opt_state_shape():
+    """spike_guard: spiked grads are zeroed before the optimizer (so they
+    add nothing to momentum), normal grads pass through bit-identically,
+    and the opt_state pytree is IDENTICAL with the guard on or off (so
+    snapshots restore across the setting)."""
+    from d3feat_tpu.config import threedmatch_config
+    from d3feat_tpu.train.trainer import make_optimizer, spike_guard
+    cfg_on = threedmatch_config(grad_skip_threshold=4.0, epoch_steps=10)
+    cfg_off = threedmatch_config(grad_skip_threshold=0.0, epoch_steps=10)
+    grads = {'w': jnp.full((4,), 0.1)}
+    g1, gn, skipped = spike_guard(grads, cfg_on)
+    assert float(skipped) == 0.0
+    np.testing.assert_array_equal(np.asarray(g1['w']),
+                                  np.asarray(grads['w']))
+    assert abs(float(gn) - 0.2) < 1e-6
+    spike = {'w': jnp.full((4,), 1e6)}
+    g2, gn2, skipped2 = spike_guard(spike, cfg_on)
+    assert float(skipped2) == 1.0 and float(np.abs(g2['w']).sum()) == 0.0
+    # guard off: spike passes through untouched (clip happens downstream)
+    g3, _, skipped3 = spike_guard(spike, cfg_off)
+    assert float(skipped3) == 0.0 and float(np.abs(g3['w']).sum()) > 0
+    # optimizer state structure must not depend on the setting
+    params = {'w': jnp.ones((4,))}
+    s_on = jax.tree_util.tree_structure(make_optimizer(cfg_on).init(params))
+    s_off = jax.tree_util.tree_structure(
+        make_optimizer(cfg_off).init(params))
+    assert s_on == s_off
