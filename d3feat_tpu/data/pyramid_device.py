@@ -45,8 +45,8 @@ def build_pyramid_device(
     n_valid: jnp.ndarray,
     config: Config,
     *,
-    cell_ratio: float = 0.6,
-    cand_cap: int = 192,
+    cell_ratio: float = 0.45,
+    cand_cap: int = 160,
 ) -> Tuple[Dict, jnp.ndarray]:
     """Build the full padded pyramid for one cloud on device.
 
@@ -56,9 +56,12 @@ def build_pyramid_device(
       config: geometry knobs (same fields the host builder uses).
       cell_ratio: occupied-cell capacity per level as a fraction of the
         level's point capacity (occupancy ~2.8 points/cell on 3DMatch-like
-        scans, so 0.6 is ~1.7x headroom).
+        scans -> ~36% of points are cell-firsts; 0.45 is ~25% headroom).
+        Every per-cell cost in the table build scales with this, so keep
+        it tight and let the caller's retry ladder grow it.
       cand_cap: max candidates (supports within the surrounding 27 cells)
-        per cell; scale-free across levels because r/dl is constant.
+        per cell (measured mean ~76 on 3DMatch-like scans); scale-free
+        across levels because r/dl is constant.
 
     Returns (pyramid dict pytree — same keys/shapes/dtypes as the host
     `build_pyramid` for B == 1 — and a scalar `ok` that is False if any

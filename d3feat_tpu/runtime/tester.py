@@ -50,7 +50,7 @@ class DescriptorExtractor:
     """
 
     # (cell_ratio, cand_cap) escalation ladder for the device pyramid
-    _DEVICE_GROWTH = ((0.6, 192), (0.9, 320), (1.3, 512))
+    _DEVICE_GROWTH = ((0.45, 160), (0.75, 288), (1.2, 512))
 
     def __init__(self, config: Config, variables: Dict,
                  timer: Optional[list] = None,
