@@ -222,3 +222,35 @@ def test_extractor_device_pyramid_matches_host(cloud):
     assert len(dev.timer) == 1      # the device path actually ran
     np.testing.assert_allclose(dd, dh, atol=2e-5)
     np.testing.assert_allclose(sd, sh, atol=2e-5)
+
+
+def test_device_pyramid_matches_host_kitti_geometry():
+    """Outdoor KITTI geometry: 0.30 m voxel, ~100 m extent, ground plane +
+    vertical structures (the grid must handle tall z-columns and the
+    1024-cell/axis bound)."""
+    from d3feat_tpu.config import kitti_config
+    rng = np.random.default_rng(3)
+    # road plane 120 x 24 m + a few 'buildings' (vertical walls)
+    road = np.stack([rng.random(30000) * 120.0,
+                     rng.random(30000) * 24.0 - 12.0,
+                     rng.normal(0, 0.05, 30000)], 1).astype(np.float32)
+    walls = []
+    for wx in (20.0, 60.0, 95.0):
+        walls.append(np.stack([
+            np.full(4000, wx) + rng.normal(0, 0.05, 4000),
+            rng.random(4000) * 20.0 - 10.0,
+            rng.random(4000) * 8.0], 1).astype(np.float32))
+    cloud_k = grid_subsample(np.concatenate([road] + walls), 0.30)
+    n = cloud_k.shape[0]
+    cfg = kitti_config(size_multiple=1024, max_points=-(-n // 1024) * 1024)
+    caps = cfg.level_capacities()
+    dp, ok = jax.jit(lambda p, nn: build_pyramid_device(p, nn, cfg))(
+        jnp.asarray(pad_to(cloud_k, caps[0])), jnp.int32(n))
+    assert bool(ok)
+    hp = build_pyramid(cloud_k, [n], cfg)
+    assert [int(np.asarray(x)[0]) for x in dp['lengths']] == \
+        [int(x[0]) for x in hp['lengths']]
+    good, row = rows_equal_or_same_set(
+        np.asarray(dp['neighbors'][0]), hp['neighbors'][0],
+        caps[0], caps[0])
+    assert good, f'KITTI L0 conv row {row}'
