@@ -197,8 +197,11 @@ def build_cell_table(
     base = (px << (2 * _BITS)) | (py << _BITS)
     lo = jnp.where(p_in, base | zlo, 0)
     hi = jnp.where(p_in, base | zhi, -1)
-    start = jnp.searchsorted(skey, lo, side='left')
-    end = jnp.searchsorted(skey, hi, side='right')
+    # method='sort': the default scan-based binary search is a 17-round
+    # lax.scan (~108 ms for these shapes on TPU); the sort-based merge is
+    # ~8 ms (measured, PERF_NOTES.md)
+    start = jnp.searchsorted(skey, lo, side='left', method='sort')
+    end = jnp.searchsorted(skey, hi, side='right', method='sort')
     run = jnp.maximum(end - start, 0)                        # [C, 9]
 
     # compact the 9 runs head-to-tail into cand_cap slots
@@ -255,7 +258,7 @@ def radius_search(
     ok = table.ok & jnp.all(~qvalid | q_in)
     qkey = jnp.where(qvalid & q_in, _pack(jnp.clip(qcc, 0, _GRID - 1)),
                      _KEY_INVALID)
-    rank = jnp.searchsorted(table.ckey, qkey, side='left')
+    rank = jnp.searchsorted(table.ckey, qkey, side='left', method='sort')
     rank = jnp.clip(rank, 0, table.ckey.shape[0] - 1)
     hit_cell = table.ckey[rank] == qkey                      # [Nq]
 
@@ -272,14 +275,18 @@ def radius_search(
         # host tie-break parity: ascending (d2, original index) — the
         # native search packs (d2_bits << 32) | index (geometry.cpp);
         # top_k's tie order is candidate-slot order, so re-sort the K
-        # selected with one two-key sort carrying sel as payload (exact
-        # equidistance is common: pool queries are 2-point-voxel
-        # midpoints).  NOT stable argsorts — two stable argsorts over
-        # [N, K] measured 111 ms at 100k on TPU; this sort is ~5 ms.
-        _, idx, sel = jax.lax.sort((-val, idx, sel), num_keys=2)
+        # selected with one two-key sort carrying the sorted-support
+        # positions as payload (exact equidistance is common: pool
+        # queries are 2-point-voxel midpoints).  NOT stable argsorts —
+        # two stable argsorts over [N, K] measured 111 ms at 100k on
+        # TPU; this sort is ~5 ms.
+        _, idx, pos = jax.lax.sort((-val, idx, pos), num_keys=2)
         found = idx < shadow
         if with_rel:
-            sel_xyz = jnp.take_along_axis(cand, sel[..., None], axis=1)
+            # coordinates via [N*K] 12-byte ROW gathers of the sorted
+            # support table — ~3x cheaper than take_along_axis over the
+            # [N, cand_cap, 3] block (element gathers)
+            sel_xyz = table.sorted_xyz[pos]
             diff = (sel_xyz - q_xyz[:, None, :]) * (32767.0 / radius)
             diff = jnp.clip(jnp.rint(diff), -32767, 32767)
             rel = jnp.where(found[..., None], diff.astype(jnp.int16),

@@ -119,7 +119,8 @@ def main():
         import json
         import time as _t
         from d3feat_tpu.train.trainer import make_resident_train_step
-        from d3feat_tpu.utils.checkpoint import save_checkpoint
+        from d3feat_tpu.utils.checkpoint import (restore_checkpoint,
+                                                 save_checkpoint)
         os.makedirs(save_dir, exist_ok=True)
         cfg.save(os.path.join(save_dir, 'parameters.txt'))
         t0 = _t.perf_counter()
@@ -143,8 +144,18 @@ def main():
             print(f'resuming at epoch {epoch0} (step {int(state.step)})',
                   flush=True)
         t_last = _t.perf_counter()
+        # automatic collapse recovery (beyond the reference, whose only
+        # recovery is a manual restart from a snapshot): if the logged
+        # loss goes non-finite or absurd on two consecutive checks,
+        # restore the last HEALTHY snapshot, halve the lr on top of the
+        # schedule, and continue. Snapshots are only written when the
+        # last check was healthy, so a collapsed state is never saved.
+        last_good_snap = snap if args.restore else None
+        lr_scale = 1.0
+        bad_checks = 0
         try:
             for epoch in range(epoch0, epochs):
+                epoch_healthy = True
                 for i in range(cfg.epoch_steps):
                     small = cache.sample_small_batch(rng)
                     state, metrics = step_fn(state, resident, small)
@@ -162,10 +173,31 @@ def main():
                         met_f.write(json.dumps(
                             {'epoch': epoch, 'step': i, **m}) + '\n')
                         met_f.flush()
+                        import math
+                        healthy = (math.isfinite(m['total'])
+                                   and abs(m['total']) < 10.0)
+                        bad_checks = 0 if healthy else bad_checks + 1
+                        if bad_checks >= 2 and last_good_snap:
+                            lr_scale *= 0.5
+                            run_cfg = cfg.replace(
+                                learning_rate=cfg.learning_rate * lr_scale)
+                            note = (f'# collapse at e{epoch} s{i}: '
+                                    f'restoring {last_good_snap}, '
+                                    f'lr scale -> {lr_scale}')
+                            print(note, flush=True)
+                            log_f.write(note + '\n'); log_f.flush()
+                            state = restore_checkpoint(last_good_snap,
+                                                       state)
+                            step_fn = make_resident_train_step(run_cfg)
+                            bad_checks = 0
+                            epoch_healthy = False
+                            break
                     if not os.path.exists(kill_file):
                         break
-                save_checkpoint(os.path.join(save_dir, f'snap-{epoch}'),
-                                jax.device_get(state))
+                if epoch_healthy and bad_checks == 0:
+                    p = os.path.join(save_dir, f'snap-{epoch}')
+                    save_checkpoint(p, jax.device_get(state))
+                    last_good_snap = p
                 if not os.path.exists(kill_file):
                     print('# kill file removed, stopping', flush=True)
                     break
