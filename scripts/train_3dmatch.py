@@ -153,6 +153,8 @@ def main():
         last_good_snap = snap if args.restore else None
         lr_scale = 1.0
         bad_checks = 0
+        dead_checks = 0          # bounded desc-collapse: acc pinned ~0
+        seen_good_acc = False    # arms the dead-acc trigger
         try:
             for epoch in range(epoch0, epochs):
                 epoch_healthy = True
@@ -177,7 +179,15 @@ def main():
                         healthy = (math.isfinite(m['total'])
                                    and abs(m['total']) < 10.0)
                         bad_checks = 0 if healthy else bad_checks + 1
-                        if bad_checks >= 2 and last_good_snap:
+                        # descriptor collapse with bounded loss: desc
+                        # pinned at the margin constant, accuracy ~0 —
+                        # only armed once the run has ever been good so
+                        # a slow warm-up is not mistaken for collapse
+                        seen_good_acc |= m['accuracy'] > 0.3
+                        dead = seen_good_acc and m['accuracy'] < 0.05
+                        dead_checks = dead_checks + 1 if dead else 0
+                        if ((bad_checks >= 2 or dead_checks >= 4)
+                                and last_good_snap):
                             lr_scale *= 0.5
                             run_cfg = cfg.replace(
                                 learning_rate=cfg.learning_rate * lr_scale)
@@ -190,11 +200,12 @@ def main():
                                                        state)
                             step_fn = make_resident_train_step(run_cfg)
                             bad_checks = 0
+                            dead_checks = 0
                             epoch_healthy = False
                             break
                     if not os.path.exists(kill_file):
                         break
-                if epoch_healthy and bad_checks == 0:
+                if epoch_healthy and bad_checks == 0 and dead_checks == 0:
                     p = os.path.join(save_dir, f'snap-{epoch}')
                     save_checkpoint(p, jax.device_get(state))
                     last_good_snap = p
