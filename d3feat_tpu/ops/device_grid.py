@@ -217,8 +217,15 @@ def build_cell_table(
     probe = jnp.sum(off[:, :, None] <= t[None, None, :],
                     axis=1).astype(jnp.int32) - 1            # [C, cand_cap]
     probe = jnp.clip(probe, 0, 8)
-    pos = (jnp.take_along_axis(start, probe, axis=1)
-           + (t[None, :] - jnp.take_along_axis(off, probe, axis=1)))
+    # pos[c,t] = start[c,probe] + t - off[c,probe] = shift[c,probe] + t.
+    # Select shift with 9 broadcast wheres: two take_along_axis gathers
+    # here measured +120 ms at 100k points (element-gather issue rate);
+    # the monotone-probe select is pure VPU.
+    shift = start - off                                      # [C, 9]
+    sel_shift = jnp.broadcast_to(shift[:, 0:1], probe.shape)
+    for o in range(1, 9):
+        sel_shift = jnp.where(probe >= o, shift[:, o:o + 1], sel_shift)
+    pos = sel_shift + t[None, :]
     cand_valid = t[None, :] < jnp.minimum(total, cand_cap)[:, None]
     pos = jnp.clip(pos, 0, m - 1)
     cand_xyz = sxyz[pos]                                     # [C, cap, 3]
