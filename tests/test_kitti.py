@@ -152,3 +152,27 @@ def test_icp_refinement_accuracy_with_thinning(rng):
                                        -1, 1)))
     assert rte < 0.02, rte
     assert rre < 0.2, rre
+
+
+@pytest.mark.slow
+def test_synthetic_kitti_generator_feeds_adapter(tmp_path):
+    """scripts/make_synthetic_kitti.py output flows through KITTIDataset:
+    >=10m pair rule (with the reference's -1 quirk), ICP-refined GT,
+    >=1024 correspondences at 1.5x voxel."""
+    import subprocess
+    import sys as _sys
+    out = str(tmp_path / 'sk')
+    subprocess.run(
+        [_sys.executable, 'scripts/make_synthetic_kitti.py', '--out', out,
+         '--train-seqs', '1', '--val-seqs', '0', '--test-seqs', '0',
+         '--frames', '6', '--length', '120'],
+        check=True, cwd=os.path.dirname(os.path.dirname(__file__)))
+    ds = KITTIDataset(out, voxel_size=0.30, splits={'train': (0,)})
+    pairs = ds.prepare_pairs('train')
+    assert pairs, 'no >=10m pairs generated'
+    anc, pos, corr, trans = ds.load_pair('train', 0)
+    assert corr.shape[0] >= 1024
+    d = np.linalg.norm(anc[corr[:, 0]] - pos[corr[:, 1]], axis=1)
+    assert d.max() <= 0.45 + 1e-6
+    # GT ~8m along the drive axis after ICP refinement
+    assert 6.0 < abs(trans[0, 3]) < 10.0
