@@ -209,3 +209,36 @@ def build_cache_from_dataset(dataset, split: str, config: Config,
         except ValueError:
             continue  # exceeds static capacities, same as a skip
     return cache
+
+
+def build_cache_from_kitti(dataset, split: str, config: Config,
+                           max_pairs: Optional[int] = None,
+                           rng: Optional[np.random.Generator] = None,
+                           ) -> PairPyramidCache:
+    """Fill a cache from a KITTIDataset: GT-aligned anchor + positive +
+    radius-matched correspondences per >=10 m pair (`data/kitti.py`).
+
+    KITTI's scale augmentation ([0.8, 1.2], `datasets/KITTI.py:191-206`)
+    cannot be replayed on a cached pyramid (scale changes which points
+    fall inside the fixed search radii), so the config must disable it —
+    `PairPyramidCache.__init__` enforces this.  Rotation and jitter ride
+    the rel vectors on device as usual; translation augmentation is a
+    no-op in this design (the network only consumes relative vectors).
+    """
+    cache = PairPyramidCache(config)
+    pairs = dataset.prepare_pairs(split)
+    order = list(range(len(pairs)))
+    if rng is not None:
+        rng.shuffle(order)
+    for idx in order:
+        if max_pairs is not None and len(cache) >= max_pairs:
+            break
+        out = dataset.load_pair(split, idx)
+        if out is None:
+            continue                      # <1024 matches, reference skip
+        anc, pos, corr, _trans = out
+        try:
+            cache.add_pair(anc, pos, corr)
+        except ValueError:
+            continue                      # exceeds static capacities
+    return cache

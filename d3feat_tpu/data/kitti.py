@@ -48,6 +48,22 @@ class KITTIDataset:
         self.root = root
         self.voxel_size = voxel_size
         self.match_radius = voxel_size * 1.5
+        # reference behavior: sequence splits ship as text lists
+        # (`data/kitti/config/{train,val,test}_kitti.txt`, SURVEY §2.8);
+        # read them when present, fall back to the standard DGR splits
+        if splits is None:
+            cfg_dir = os.path.join(root, 'config')
+            found = {}
+            for split in ('train', 'val', 'test'):
+                p = os.path.join(cfg_dir, f'{split}_kitti.txt')
+                if os.path.exists(p):
+                    with open(p) as fh:
+                        found[split] = tuple(
+                            int(line) for line in fh.read().split()
+                            if line.strip())
+            if found:
+                splits = {s: found.get(s, ()) for s in
+                          ('train', 'val', 'test')}
         self.splits = splits or SEQUENCE_SPLITS
         self.icp_dir = icp_cache_dir or os.path.join(root, 'icp')
         os.makedirs(self.icp_dir, exist_ok=True)

@@ -1,0 +1,130 @@
+"""Device-resident training loop, shared by the dataset entry scripts.
+
+The whole cached dataset lives in device HBM (see `data/cache.py` and
+`train/trainer.make_resident_train_step`); each step ships only a pair
+index + sampled correspondences + augmentation state (~0.3 MB).  The
+loop adds, beyond the reference trainer (`utils/trainer.py:200-498`):
+
+  * kill-file graceful stop (reference parity: `running_PID.txt`);
+  * resume numbering from the restored optimizer step so the lr
+    schedule, logs and snap-N names stay continuous;
+  * **automatic collapse recovery** (no reference analog — its recovery
+    is a manual restart): on two consecutive absurd/non-finite loss
+    checks, or a sustained dead accuracy after the run has ever been
+    good, restore the last HEALTHY snapshot, halve the lr on top of the
+    schedule, and continue.  Collapsed states are never snapshotted.
+    Incident history: RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from d3feat_tpu.config import Config
+from d3feat_tpu.train.trainer import make_resident_train_step
+from d3feat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def run_resident_training(
+    cfg: Config,
+    cache,
+    state,
+    save_dir: str,
+    *,
+    rng: np.random.Generator,
+    epochs: Optional[int] = None,
+    restore_snap: Optional[str] = None,
+) -> None:
+    """Upload the cache to HBM and run the training loop with recovery.
+
+    `state` must already be restored from `restore_snap` by the caller
+    (the path is only used as the initial recovery point).
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    cfg.save(os.path.join(save_dir, 'parameters.txt'))
+    t0 = time.perf_counter()
+    resident = jax.device_put(cache.stacked_pyramids())
+    jax.block_until_ready(jax.tree.leaves(resident)[0])
+    n_bytes = sum(x.size * x.dtype.itemsize
+                  for x in jax.tree.leaves(resident))
+    print(f'resident dataset: {n_bytes / 1e9:.2f} GB uploaded in '
+          f'{time.perf_counter() - t0:.0f} s', flush=True)
+
+    step_fn = make_resident_train_step(cfg)
+    kill_file = os.path.join(save_dir, 'running_PID.txt')
+    with open(kill_file, 'w') as fh:
+        fh.write(str(os.getpid()))
+    log_f = open(os.path.join(save_dir, 'training.txt'), 'a')
+    met_f = open(os.path.join(save_dir, 'metrics.jsonl'), 'a')
+    epochs = epochs or cfg.max_epoch
+    epoch0 = int(state.step) // cfg.epoch_steps
+    if epoch0:
+        print(f'resuming at epoch {epoch0} (step {int(state.step)})',
+              flush=True)
+    t_last = time.perf_counter()
+    last_good_snap = restore_snap
+    lr_scale = 1.0
+    bad_checks = 0
+    dead_checks = 0          # bounded desc-collapse: acc pinned ~0
+    seen_good_acc = False    # arms the dead-acc trigger
+    try:
+        for epoch in range(epoch0, epochs):
+            epoch_healthy = True
+            for i in range(cfg.epoch_steps):
+                small = cache.sample_small_batch(rng)
+                state, metrics = step_fn(state, resident, small)
+                if i % 100 == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    dt = time.perf_counter() - t_last
+                    t_last = time.perf_counter()
+                    line = (f'e{epoch:03d} s{i:05d} '
+                            f'loss={m["total"]:.4f} '
+                            f'desc={m["desc_loss"]:.4f} '
+                            f'det={m["det_loss"]:.4f} '
+                            f'acc={m["accuracy"]:.3f} dt={dt:.1f}s')
+                    print(line, flush=True)
+                    log_f.write(line + '\n'); log_f.flush()
+                    met_f.write(json.dumps(
+                        {'epoch': epoch, 'step': i, **m}) + '\n')
+                    met_f.flush()
+                    healthy = (math.isfinite(m['total'])
+                               and abs(m['total']) < 10.0)
+                    bad_checks = 0 if healthy else bad_checks + 1
+                    seen_good_acc |= m['accuracy'] > 0.3
+                    dead = seen_good_acc and m['accuracy'] < 0.05
+                    dead_checks = dead_checks + 1 if dead else 0
+                    if ((bad_checks >= 2 or dead_checks >= 4)
+                            and last_good_snap):
+                        lr_scale *= 0.5
+                        run_cfg = cfg.replace(
+                            learning_rate=cfg.learning_rate * lr_scale)
+                        note = (f'# collapse at e{epoch} s{i}: '
+                                f'restoring {last_good_snap}, '
+                                f'lr scale -> {lr_scale}')
+                        print(note, flush=True)
+                        log_f.write(note + '\n'); log_f.flush()
+                        state = restore_checkpoint(last_good_snap, state)
+                        step_fn = make_resident_train_step(run_cfg)
+                        bad_checks = 0
+                        dead_checks = 0
+                        epoch_healthy = False
+                        break
+                if not os.path.exists(kill_file):
+                    break
+            if epoch_healthy and bad_checks == 0 and dead_checks == 0:
+                p = os.path.join(save_dir, f'snap-{epoch}')
+                save_checkpoint(p, jax.device_get(state))
+                last_good_snap = p
+            if not os.path.exists(kill_file):
+                print('# kill file removed, stopping', flush=True)
+                break
+    finally:
+        if os.path.exists(kill_file):
+            os.remove(kill_file)

@@ -116,105 +116,10 @@ def main():
         state = restore_checkpoint(snap, state)
 
     if args.resident:
-        import json
-        import time as _t
-        from d3feat_tpu.train.trainer import make_resident_train_step
-        from d3feat_tpu.utils.checkpoint import (restore_checkpoint,
-                                                 save_checkpoint)
-        os.makedirs(save_dir, exist_ok=True)
-        cfg.save(os.path.join(save_dir, 'parameters.txt'))
-        t0 = _t.perf_counter()
-        resident = jax.device_put(cache.stacked_pyramids())
-        jax.block_until_ready(jax.tree.leaves(resident)[0])
-        n_bytes = sum(x.size * x.dtype.itemsize
-                      for x in jax.tree.leaves(resident))
-        print(f'resident dataset: {n_bytes / 1e9:.2f} GB uploaded in '
-              f'{_t.perf_counter() - t0:.0f} s', flush=True)
-        step_fn = make_resident_train_step(cfg)
-        kill_file = os.path.join(save_dir, 'running_PID.txt')
-        with open(kill_file, 'w') as fh:
-            fh.write(str(os.getpid()))
-        log_f = open(os.path.join(save_dir, 'training.txt'), 'a')
-        met_f = open(os.path.join(save_dir, 'metrics.jsonl'), 'a')
-        epochs = args.epochs or cfg.max_epoch
-        # resume numbering from the restored optimizer step so the lr
-        # schedule, logs and snap-N names stay continuous
-        epoch0 = int(state.step) // cfg.epoch_steps
-        if epoch0:
-            print(f'resuming at epoch {epoch0} (step {int(state.step)})',
-                  flush=True)
-        t_last = _t.perf_counter()
-        # automatic collapse recovery (beyond the reference, whose only
-        # recovery is a manual restart from a snapshot): if the logged
-        # loss goes non-finite or absurd on two consecutive checks,
-        # restore the last HEALTHY snapshot, halve the lr on top of the
-        # schedule, and continue. Snapshots are only written when the
-        # last check was healthy, so a collapsed state is never saved.
-        last_good_snap = snap if args.restore else None
-        lr_scale = 1.0
-        bad_checks = 0
-        dead_checks = 0          # bounded desc-collapse: acc pinned ~0
-        seen_good_acc = False    # arms the dead-acc trigger
-        try:
-            for epoch in range(epoch0, epochs):
-                epoch_healthy = True
-                for i in range(cfg.epoch_steps):
-                    small = cache.sample_small_batch(rng)
-                    state, metrics = step_fn(state, resident, small)
-                    if i % 100 == 0:
-                        m = {k: float(v) for k, v in metrics.items()}
-                        dt = _t.perf_counter() - t_last
-                        t_last = _t.perf_counter()
-                        line = (f'e{epoch:03d} s{i:05d} '
-                                f'loss={m["total"]:.4f} '
-                                f'desc={m["desc_loss"]:.4f} '
-                                f'det={m["det_loss"]:.4f} '
-                                f'acc={m["accuracy"]:.3f} dt={dt:.1f}s')
-                        print(line, flush=True)
-                        log_f.write(line + '\n'); log_f.flush()
-                        met_f.write(json.dumps(
-                            {'epoch': epoch, 'step': i, **m}) + '\n')
-                        met_f.flush()
-                        import math
-                        healthy = (math.isfinite(m['total'])
-                                   and abs(m['total']) < 10.0)
-                        bad_checks = 0 if healthy else bad_checks + 1
-                        # descriptor collapse with bounded loss: desc
-                        # pinned at the margin constant, accuracy ~0 —
-                        # only armed once the run has ever been good so
-                        # a slow warm-up is not mistaken for collapse
-                        seen_good_acc |= m['accuracy'] > 0.3
-                        dead = seen_good_acc and m['accuracy'] < 0.05
-                        dead_checks = dead_checks + 1 if dead else 0
-                        if ((bad_checks >= 2 or dead_checks >= 4)
-                                and last_good_snap):
-                            lr_scale *= 0.5
-                            run_cfg = cfg.replace(
-                                learning_rate=cfg.learning_rate * lr_scale)
-                            note = (f'# collapse at e{epoch} s{i}: '
-                                    f'restoring {last_good_snap}, '
-                                    f'lr scale -> {lr_scale}')
-                            print(note, flush=True)
-                            log_f.write(note + '\n'); log_f.flush()
-                            state = restore_checkpoint(last_good_snap,
-                                                       state)
-                            step_fn = make_resident_train_step(run_cfg)
-                            bad_checks = 0
-                            dead_checks = 0
-                            epoch_healthy = False
-                            break
-                    if not os.path.exists(kill_file):
-                        break
-                if epoch_healthy and bad_checks == 0 and dead_checks == 0:
-                    p = os.path.join(save_dir, f'snap-{epoch}')
-                    save_checkpoint(p, jax.device_get(state))
-                    last_good_snap = p
-                if not os.path.exists(kill_file):
-                    print('# kill file removed, stopping', flush=True)
-                    break
-        finally:
-            if os.path.exists(kill_file):
-                os.remove(kill_file)
+        from d3feat_tpu.train.resident import run_resident_training
+        run_resident_training(
+            cfg, cache, state, save_dir, rng=rng, epochs=args.epochs,
+            restore_snap=snap if args.restore else None)
         return
 
     from d3feat_tpu.data.loader import prefetch
