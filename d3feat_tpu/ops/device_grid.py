@@ -274,20 +274,21 @@ def radius_search(
         cand = table.cand_xyz[rk]                            # [c, cap, 3]
         d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
         good = (d2 <= r2) & hc[:, None]
-        neg = jnp.where(good, -d2, -jnp.inf)
-        val, sel = jax.lax.top_k(neg, max_neighbors)
-        found = val > -jnp.inf
-        pos = jnp.take_along_axis(table.cand_pos[rk], sel, axis=1)
-        idx = jnp.where(found, table.order[pos], shadow)
-        # host tie-break parity: ascending (d2, original index) — the
-        # native search packs (d2_bits << 32) | index (geometry.cpp);
-        # top_k's tie order is candidate-slot order, so re-sort the K
-        # selected with one two-key sort carrying the sorted-support
-        # positions as payload (exact equidistance is common: pool
-        # queries are 2-point-voxel midpoints).  NOT stable argsorts —
-        # two stable argsorts over [N, K] measured 111 ms at 100k on
-        # TPU; this sort is ~5 ms.
-        _, idx, pos = jax.lax.sort((-val, idx, pos), num_keys=2)
+        # selection via a payload-carrying sort, NOT top_k +
+        # take_along_axis (element-gather take_alongs over [N, cand_cap]
+        # are the measured killer on TPU; variadic sorts are ~5 ms).
+        # First sort carries the sorted-support positions down to the K
+        # nearest; the second enforces the host's (d2, original index)
+        # tie order (the native search packs (d2_bits << 32) | index,
+        # geometry.cpp; exact equidistance is common: pool queries are
+        # 2-point-voxel midpoints).
+        d2m = jnp.where(good, d2, jnp.inf)
+        posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
+        d2s, pos = jax.lax.sort((d2m, posrow), num_keys=1)
+        d2k = d2s[:, :max_neighbors]
+        pos = pos[:, :max_neighbors]
+        idx = jnp.where(d2k < jnp.inf, table.order[pos], shadow)
+        _, idx, pos = jax.lax.sort((d2k, idx, pos), num_keys=2)
         found = idx < shadow
         if with_rel:
             # coordinates via [N*K] 12-byte ROW gathers of the sorted
