@@ -257,6 +257,10 @@ def radius_search(
     nq_cap = queries.shape[0]
     ms = table.sorted_xyz.shape[0]
     shadow = ms
+    cand_cap = table.cand_pos.shape[1]
+    if max_neighbors > cand_cap:
+        raise ValueError(f'max_neighbors {max_neighbors} exceeds the '
+                         f'table cand_cap {cand_cap}')
     r2 = jnp.float32(radius) ** 2
     qvalid = jnp.arange(nq_cap) < n_q
 
