@@ -62,7 +62,9 @@ class KITTIDataset:
                             int(line) for line in fh.read().split()
                             if line.strip())
             if found:
-                splits = {s: found.get(s, ()) for s in
+                # fall back per split: a dataset dir shipping only (say)
+                # train_kitti.txt must not silently empty val/test
+                splits = {s: found.get(s, SEQUENCE_SPLITS[s]) for s in
                           ('train', 'val', 'test')}
         self.splits = splits or SEQUENCE_SPLITS
         self.icp_dir = icp_cache_dir or os.path.join(root, 'icp')

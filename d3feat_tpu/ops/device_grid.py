@@ -31,11 +31,12 @@ Design (everything shape-static, jit-compatible):
     dominant cost of the whole search, and compaction cuts its row count
     ~3x.  Queries then expand their cell's table row with one wide-row
     gather (cheap: few rows, many bytes).
-  * **Distance + top-k on device.**  Squared distances use the exact
+  * **Distance + K-nearest on device.**  Squared distances use the exact
     elementwise form `sum((s - q)^2)` (not the |q|^2-2qs matmul) to keep
-    f32 rounding aligned with the host implementation; selection is
-    `lax.top_k` over negated distances, which returns ascending-distance
-    neighbors like the reference's sort (`neighbors.cpp:319-325`).
+    f32 rounding aligned with the host implementation; selection is one
+    payload-carrying variadic `lax.sort` by (d2, original index) — the
+    same ascending tie order as the host's packed (d2_bits << 32 | index)
+    keys and the reference's distance sort (`neighbors.cpp:319-325`).
     `d2 <= r2` inclusive, matching `native/src/geometry.cpp:206`.
   * **Static caps + overflow flags.**  Occupied-cell count and per-cell
     candidate count get static capacities (calibrated like the level
@@ -93,6 +94,8 @@ class CellTable(NamedTuple):
     ckey: jnp.ndarray           # [C_cap] int32 keys of occupied cells,
                                 #   ascending, pads = _KEY_INVALID
     cand_pos: jnp.ndarray       # [C_cap, cand_cap] sorted-support positions
+    cand_ord: jnp.ndarray       # [C_cap, cand_cap] their ORIGINAL indices
+                                #   (invalid slots = len(sorted_xyz))
     cand_xyz: jnp.ndarray       # [C_cap, cand_cap, 3] their coordinates
     cand_valid: jnp.ndarray     # [C_cap, cand_cap] bool
     ok: jnp.ndarray             # scalar bool: no cap overflowed
@@ -231,8 +234,13 @@ def build_cell_table(
     cand_xyz = sxyz[pos]                                     # [C, cap, 3]
     # invalid slots get a far-away coordinate so d2 can never pass
     cand_xyz = jnp.where(cand_valid[..., None], cand_xyz, 2 * _PAD_POS)
+    # original indices resolved at BUILD time (cells << queries): the
+    # search sorts by (d2, original index) exactly like the host's packed
+    # (d2_bits << 32 | index) keys, and needs no order[] gather of its own
+    cand_ord = jnp.where(cand_valid, order[pos], m)
     return CellTable(sxyz, order, origin, inv_cell, ckey,
-                     pos.astype(jnp.int32), cand_xyz, cand_valid, ok)
+                     pos.astype(jnp.int32), cand_ord.astype(jnp.int32),
+                     cand_xyz, cand_valid, ok)
 
 
 def radius_search(
@@ -278,21 +286,20 @@ def radius_search(
         cand = table.cand_xyz[rk]                            # [c, cap, 3]
         d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
         good = (d2 <= r2) & hc[:, None]
-        # selection via a payload-carrying sort, NOT top_k +
+        # selection via ONE payload-carrying sort, NOT top_k +
         # take_along_axis (element-gather take_alongs over [N, cand_cap]
         # are the measured killer on TPU; variadic sorts are ~5 ms).
-        # First sort carries the sorted-support positions down to the K
-        # nearest; the second enforces the host's (d2, original index)
-        # tie order (the native search packs (d2_bits << 32) | index,
-        # geometry.cpp; exact equidistance is common: pool queries are
-        # 2-point-voxel midpoints).
+        # Sorting by (d2, original index) reproduces the host's packed
+        # (d2_bits << 32 | index) tie order exactly (geometry.cpp; exact
+        # equidistance is common: pool queries are 2-point-voxel
+        # midpoints).  Rejected slots carry (inf, shadow) so after
+        # truncation the row is already ascending with shadow pads last.
         d2m = jnp.where(good, d2, jnp.inf)
+        ordm = jnp.where(good, table.cand_ord[rk], shadow)
         posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
-        d2s, pos = jax.lax.sort((d2m, posrow), num_keys=1)
-        d2k = d2s[:, :max_neighbors]
+        _, idx, pos = jax.lax.sort((d2m, ordm, posrow), num_keys=2)
+        idx = idx[:, :max_neighbors]
         pos = pos[:, :max_neighbors]
-        idx = jnp.where(d2k < jnp.inf, table.order[pos], shadow)
-        _, idx, pos = jax.lax.sort((d2k, idx, pos), num_keys=2)
         found = idx < shadow
         if with_rel:
             # coordinates via [N*K] 12-byte ROW gathers of the sorted

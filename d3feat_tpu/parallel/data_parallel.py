@@ -72,13 +72,16 @@ def make_dp_train_step(config: Config, mesh: Mesh, axis: str = 'data'
     (state, metrics). state replicated, batch sharded on its leading axis."""
     model = KPFCNN(config)
     tx = make_optimizer(config)
+    has_deform = any('deformable' in b for b in config.architecture)
+    mutable = (['batch_stats', 'intermediates'] if has_deform
+               else ['batch_stats'])
 
     def per_pair_loss(params, batch_stats, kpoints, batch):
         variables = {'params': params, 'batch_stats': batch_stats,
                      'kpoints': kpoints}
         (desc, scores), mutated = model.apply(
             variables, batch['pyramid'], training=True,
-            mutable=['batch_stats'])
+            mutable=mutable)
         anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
         losses = d3feat_loss(
             desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
@@ -90,7 +93,15 @@ def make_dp_train_step(config: Config, mesh: Mesh, axis: str = 'data'
             det_weight=config.det_loss_weight,
             keypts_num=config.keypts_num,
             loss_type=config.loss_type)
-        return losses['loss'], (losses, mutated['batch_stats'])
+        loss = losses['loss']
+        if has_deform and config.offsets_loss != 'none':
+            # mirror make_train_step: fold the sown offset regularization
+            # into each pair's loss (advisor round-2 finding)
+            off = config.offsets_decay * sum(jax.tree_util.tree_leaves(
+                mutated.get('intermediates', {})))
+            losses['offset_loss'] = off
+            loss = loss + off
+        return loss, (losses, mutated['batch_stats'])
 
     def loss_fn(params, batch_stats, kpoints, stacked_batch):
         per_pair = lambda b: per_pair_loss(params, batch_stats, kpoints, b)
@@ -160,13 +171,16 @@ def make_resident_dp_train_step(config: Config, mesh: Mesh,
     from d3feat_tpu.train.trainer import weight_l2
     model = KPFCNN(config)
     tx = make_optimizer(config)
+    has_deform = any('deformable' in b for b in config.architecture)
+    mutable = (['batch_stats', 'intermediates'] if has_deform
+               else ['batch_stats'])
 
     def per_pair_loss(params, batch_stats, kpoints, batch):
         variables = {'params': params, 'batch_stats': batch_stats,
                      'kpoints': kpoints}
         (desc, scores), mutated = model.apply(
             variables, batch['pyramid'], training=True,
-            mutable=['batch_stats'])
+            mutable=mutable)
         anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
         losses = d3feat_loss(
             desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
@@ -180,8 +194,14 @@ def make_resident_dp_train_step(config: Config, mesh: Mesh,
             loss_type=config.loss_type)
         reg = config.weights_decay * weight_l2(params)
         losses['reg_loss'] = reg
-        losses['total'] = losses['loss'] + reg
-        return losses['loss'] + reg, (losses, mutated['batch_stats'])
+        total = losses['loss'] + reg
+        if has_deform and config.offsets_loss != 'none':
+            off = config.offsets_decay * sum(jax.tree_util.tree_leaves(
+                mutated.get('intermediates', {})))
+            losses['offset_loss'] = off
+            total = total + off
+        losses['total'] = total
+        return total, (losses, mutated['batch_stats'])
 
     def device_fn(state: TrainState, shard, small):
         # leading dim of `small` leaves is this device's slice (size 1)

@@ -81,7 +81,10 @@ def run_resident_training(
                 small = cache.sample_small_batch(rng)
                 state, metrics = step_fn(state, resident, small)
                 if i % 100 == 0:
-                    m = {k: float(v) for k, v in metrics.items()}
+                    # one device_get for the whole dict: per-scalar float()
+                    # fetches cost ~1.1 s tunnel RTT EACH (~9 s/log tick)
+                    m = {k: float(v) for k, v in
+                         jax.device_get(metrics).items()}
                     dt = time.perf_counter() - t_last
                     t_last = time.perf_counter()
                     line = (f'e{epoch:03d} s{i:05d} '

@@ -244,13 +244,16 @@ def make_resident_train_step(config: Config) -> Callable:
     """
     base_step_factory_model = KPFCNN(config)
     tx = make_optimizer(config)
+    has_deform = any('deformable' in b for b in config.architecture)
+    mutable = (['batch_stats', 'intermediates'] if has_deform
+               else ['batch_stats'])
 
     def loss_fn(params, batch_stats, kpoints, batch):
         variables = {'params': params, 'batch_stats': batch_stats,
                      'kpoints': kpoints}
         (desc, scores), mutated = base_step_factory_model.apply(
             variables, batch['pyramid'], training=True,
-            mutable=['batch_stats'])
+            mutable=mutable)
         anc_i, pos_i = batch['anc_inds'], batch['pos_inds']
         losses = d3feat_loss(
             desc[anc_i], desc[pos_i], scores[anc_i], scores[pos_i],
@@ -265,6 +268,14 @@ def make_resident_train_step(config: Config) -> Callable:
         reg = config.weights_decay * weight_l2(params)
         losses['reg_loss'] = reg
         losses['total'] = losses['loss'] + reg
+        if has_deform and config.offsets_loss != 'none':
+            # same handling as make_train_step: offset regularization
+            # sown by DeformableKPConvOp must not be dropped in resident
+            # mode (advisor round-2 finding)
+            off = config.offsets_decay * sum(jax.tree_util.tree_leaves(
+                mutated.get('intermediates', {})))
+            losses['offset_loss'] = off
+            losses['total'] = losses['total'] + off
         return losses['total'], (losses, mutated['batch_stats'])
 
     @jax.jit
@@ -397,7 +408,10 @@ class Trainer:
                         f'non-finite loss at epoch {epoch} step {i}; '
                         f'debug dump in {self.save_dir}/nan_debug')
             if i % 100 == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                # single transfer (per-scalar fetches are ~1.1 s RTT each
+                # on tunneled TPUs)
+                m = {k: float(v) for k, v in
+                     jax.device_get(metrics).items()}
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
                 self._log(
