@@ -127,6 +127,31 @@ class PairPyramidCache:
         while True:
             yield self.sample_batch(rng, augment=augment)
 
+    def split_shards(self, n_shards: int,
+                     rng: np.random.Generator) -> List['PairPyramidCache']:
+        """Split into `n_shards` EQUAL-size caches for resident pool
+        rotation (`train.resident.run_resident_training`).
+
+        Equal sizes keep the stacked-pyramid leading dim identical across
+        shards, so the jitted resident step compiles once.  Pairs are
+        shuffled and dealt contiguously; a short last shard is padded with
+        random repeats from the full pool (slight duplicate-sampling bias
+        beats silently dropping pairs)."""
+        if n_shards <= 1:
+            return [self]
+        order = rng.permutation(len(self._pairs))
+        size = -(-len(self._pairs) // n_shards)        # ceil
+        shards = []
+        for i in range(n_shards):
+            idx = list(order[i * size:(i + 1) * size])
+            if len(idx) < size:
+                pad = rng.choice(len(self._pairs), size - len(idx))
+                idx.extend(int(p) for p in pad)
+            shard = PairPyramidCache(self.config)
+            shard._pairs = [self._pairs[int(j)] for j in idx]
+            shards.append(shard)
+        return shards
+
     # -- device-resident mode (tunneled TPUs) --------------------------------
     def stacked_pyramids(self) -> Dict:
         """Stack every cached pyramid along a new leading axis — the

@@ -32,6 +32,18 @@ from d3feat_tpu.train.trainer import make_resident_train_step
 from d3feat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
 
+def _upload(cache):
+    """device_put a shard's stacked pyramids and force completion."""
+    t0 = time.perf_counter()
+    resident = jax.device_put(cache.stacked_pyramids())
+    jax.block_until_ready(jax.tree.leaves(resident)[0])
+    n_bytes = sum(x.size * x.dtype.itemsize
+                  for x in jax.tree.leaves(resident))
+    print(f'resident dataset: {len(cache)} pairs, {n_bytes / 1e9:.2f} GB '
+          f'uploaded in {time.perf_counter() - t0:.0f} s', flush=True)
+    return resident
+
+
 def run_resident_training(
     cfg: Config,
     cache,
@@ -41,21 +53,29 @@ def run_resident_training(
     rng: np.random.Generator,
     epochs: Optional[int] = None,
     restore_snap: Optional[str] = None,
+    shard_epochs: int = 1,
 ) -> None:
     """Upload the cache to HBM and run the training loop with recovery.
 
     `state` must already be restored from `restore_snap` by the caller
     (the path is only used as the initial recovery point).
+
+    `cache` may be a single `PairPyramidCache` or a sequence of
+    EQUAL-size shards (`PairPyramidCache.split_shards`): shards rotate
+    through HBM every `shard_epochs` epochs (free the old shard, upload
+    the next), so the training pool can exceed device memory.  Equal
+    shard sizes keep the jitted step's shapes constant — one compile.
+    The swap costs one upload (~0.5 min/GB on the tunnel); amortize with
+    `shard_epochs` > 1 on slow links.
     """
     os.makedirs(save_dir, exist_ok=True)
     cfg.save(os.path.join(save_dir, 'parameters.txt'))
-    t0 = time.perf_counter()
-    resident = jax.device_put(cache.stacked_pyramids())
-    jax.block_until_ready(jax.tree.leaves(resident)[0])
-    n_bytes = sum(x.size * x.dtype.itemsize
-                  for x in jax.tree.leaves(resident))
-    print(f'resident dataset: {n_bytes / 1e9:.2f} GB uploaded in '
-          f'{time.perf_counter() - t0:.0f} s', flush=True)
+    shards = list(cache) if isinstance(cache, (list, tuple)) else [cache]
+    if len({len(s) for s in shards}) > 1:
+        raise ValueError('resident pool shards must be equal-size '
+                         '(one jit compile); use split_shards')
+    shard_idx = -1           # uploaded lazily at the first epoch (shard
+    resident = None          # choice keys off the epoch number on resume)
 
     step_fn = make_resident_train_step(cfg)
     kill_file = os.path.join(save_dir, 'running_PID.txt')
@@ -76,6 +96,18 @@ def run_resident_training(
     seen_good_acc = False    # arms the dead-acc trigger
     try:
         for epoch in range(epoch0, epochs):
+            want = (epoch // max(shard_epochs, 1)) % len(shards)
+            if want != shard_idx:
+                if resident is not None:
+                    note = (f'# epoch {epoch}: rotating resident pool '
+                            f'shard {shard_idx} -> {want}')
+                    print(note, flush=True)
+                    log_f.write(note + '\n'); log_f.flush()
+                    for x in jax.tree.leaves(resident):
+                        x.delete()       # free HBM BEFORE the next upload
+                shard_idx = want
+                cache = shards[shard_idx]
+                resident = _upload(cache)
             epoch_healthy = True
             for i in range(cfg.epoch_steps):
                 small = cache.sample_small_batch(rng)

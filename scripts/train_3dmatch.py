@@ -53,6 +53,15 @@ def main():
                          'by index on device — required for good step '
                          'rates on tunneled TPUs (~0.3 MB/step host '
                          'traffic instead of ~40 MB)')
+    ap.add_argument('--pool-shards', type=int, default=1,
+                    help='resident mode: split the cached pool into N '
+                         'equal HBM-resident shards rotated every '
+                         '--shard-epochs epochs — trains on pools larger '
+                         'than device memory and lowers per-pair '
+                         'exposure (memorization guard, RESULTS.md '
+                         'incident 3)')
+    ap.add_argument('--shard-epochs', type=int, default=2,
+                    help='epochs between resident pool shard rotations')
     ap.add_argument('--val-size', type=int, default=None,
                     help='validation batches per epoch (default: config)')
     ap.add_argument('--cpu', action='store_true')
@@ -117,9 +126,12 @@ def main():
 
     if args.resident:
         from d3feat_tpu.train.resident import run_resident_training
+        pool = (cache.split_shards(args.pool_shards, rng)
+                if args.pool_shards > 1 else cache)
         run_resident_training(
-            cfg, cache, state, save_dir, rng=rng, epochs=args.epochs,
-            restore_snap=snap if args.restore else None)
+            cfg, pool, state, save_dir, rng=rng, epochs=args.epochs,
+            restore_snap=snap if args.restore else None,
+            shard_epochs=args.shard_epochs)
         return
 
     from d3feat_tpu.data.loader import prefetch

@@ -139,6 +139,61 @@ def test_cache_rejects_scale_augmentation():
         PairPyramidCache(cfg)
 
 
+def test_split_shards_equal_sizes_cover_pool(rng):
+    """Shards are equal-size (one jit compile) and cover every pair;
+    a short last shard is padded with repeats, never silently dropped."""
+    cfg = tiny_cfg(augment_noise=0.0)
+    anc, pos, corr = synthetic_pair(rng)
+    cache = PairPyramidCache(cfg)
+    for _ in range(5):                      # 5 pairs into 2 shards of 3
+        cache.add_pair(anc, pos, corr)
+    shards = cache.split_shards(2, np.random.default_rng(0))
+    assert [len(s) for s in shards] == [3, 3]
+    seen = {id(p) for s in shards for p in s._pairs}
+    assert seen == {id(p) for p in cache._pairs}
+    assert cache.split_shards(1, np.random.default_rng(0)) == [cache]
+
+
+@pytest.mark.slow
+def test_resident_pool_rotation_end_to_end(rng, tmp_path):
+    """run_resident_training with 2 shards rotates through HBM (upload,
+    free, re-upload) and keeps training/snapshotting across rotations."""
+    from d3feat_tpu.train.resident import run_resident_training
+    from d3feat_tpu.train.trainer import create_train_state
+    cfg = tiny_cfg(epoch_steps=2)
+    anc, pos, corr = synthetic_pair(rng)
+    cache = PairPyramidCache(cfg)
+    for _ in range(4):
+        cache.add_pair(anc, pos, corr)
+    shards = cache.split_shards(2, np.random.default_rng(0))
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    save = str(tmp_path / 'run')
+    run_resident_training(cfg, shards, state, save,
+                          rng=np.random.default_rng(1), epochs=4,
+                          shard_epochs=1)
+    log = (tmp_path / 'run' / 'training.txt').read_text()
+    assert 'rotating resident pool shard 1 -> 0' in log
+    import os
+    assert os.path.isdir(str(tmp_path / 'run' / 'snap-3'))
+
+
+def test_resident_rejects_unequal_shards(rng, tmp_path):
+    from d3feat_tpu.train.resident import run_resident_training
+    from d3feat_tpu.train.trainer import create_train_state
+    cfg = tiny_cfg(epoch_steps=1)
+    anc, pos, corr = synthetic_pair(rng)
+    a, b = PairPyramidCache(cfg), PairPyramidCache(cfg)
+    a.add_pair(anc, pos, corr)
+    b.add_pair(anc, pos, corr)
+    b.add_pair(pos, anc, corr[:, ::-1])
+    _, variables = init_kpfcnn(cfg, a._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    with pytest.raises(ValueError, match='equal-size'):
+        run_resident_training(cfg, [a, b], state, str(tmp_path / 'r'),
+                              rng=np.random.default_rng(1), epochs=1)
+
+
 @pytest.mark.slow
 def test_resident_train_step_matches_cached(rng):
     """Resident-mode step (device-side pair slicing) computes the same
