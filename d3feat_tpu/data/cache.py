@@ -152,6 +152,13 @@ class PairPyramidCache:
             shards.append(shard)
         return shards
 
+    def pad_to_multiple(self, d: int, rng: np.random.Generator) -> None:
+        """Append random repeat pairs until len divides `d` (mesh-sharded
+        resident mode needs the pair axis divisible by the device count)."""
+        extra = (-len(self._pairs)) % d
+        for j in rng.choice(len(self._pairs), extra):
+            self._pairs.append(self._pairs[int(j)])
+
     # -- device-resident mode (tunneled TPUs) --------------------------------
     def stacked_pyramids(self) -> Dict:
         """Stack every cached pyramid along a new leading axis — the
@@ -206,6 +213,28 @@ class PairPyramidCache:
             'corr_valid': valid,
             'keypts_dists': keypts_dists,
         }
+
+    def sample_small_batch_dp(self, rng: np.random.Generator,
+                              n_devices: int, augment: bool = True) -> Dict:
+        """[D, ...]-stacked per-device payloads for the mesh-sharded
+        resident step (`parallel.make_resident_dp_train_step`).
+
+        With the pair axis sharded contiguously, device d owns global
+        pairs [d*Q, (d+1)*Q); each payload samples within its device's
+        block and carries the LOCAL index (what the shard_map body
+        slices with)."""
+        q, rem = divmod(len(self._pairs), n_devices)
+        if rem:
+            raise ValueError(f'{len(self._pairs)} pairs not divisible by '
+                             f'{n_devices} devices; call pad_to_multiple')
+        payloads = []
+        for d in range(n_devices):
+            local = int(rng.integers(q))
+            p = self.sample_small_batch(rng, augment=augment,
+                                        pair_idx=d * q + local)
+            p['pair_idx'] = np.int32(local)
+            payloads.append(p)
+        return {k: np.stack([p[k] for p in payloads]) for k in payloads[0]}
 
 
 def build_cache_from_dataset(dataset, split: str, config: Config,

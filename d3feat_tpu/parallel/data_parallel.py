@@ -220,6 +220,12 @@ def make_resident_dp_train_step(config: Config, mesh: Mesh,
         grads = jax.lax.pmean(grads, axis)
         metrics = jax.lax.pmean(metrics, axis)
         new_bs = jax.lax.pmean(new_bs, axis)
+        # guard the MEAN grads (post-pmean) so every device skips the
+        # same steps — the guarded update stays bit-identical across the
+        # replicated states (trainer.spike_guard; RESULTS.md incidents)
+        from d3feat_tpu.train.trainer import spike_guard
+        grads, metrics['gnorm'], metrics['skipped'] = spike_guard(
+            grads, config)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         import optax
         new_params = optax.apply_updates(state.params, updates)

@@ -77,6 +77,62 @@ def make_dp_extract(config: Config, mesh: Mesh, axis: str = 'data',
     return run
 
 
+def generate_descriptors_dp(
+    config: Config,
+    variables: Dict,
+    fragments,
+    out_root: str,
+    experiment: str,
+    mesh: Mesh,
+) -> str:
+    """Mesh-DP version of `runtime.generate_descriptors`: D fragments per
+    sharded program (one per device, pyramids built on device), reference
+    dump layout.  Fragments that overflow the static device-pyramid caps
+    fall back to the single-device extractor's retry ladder, so output is
+    never silently degraded.
+    """
+    import time
+
+    from d3feat_tpu.runtime.tester import (DescriptorExtractor, _bucket,
+                                           _experiment_dirs, dump_fragment)
+
+    frags = list(fragments)
+    base, dirs = _experiment_dirs(out_root, experiment)
+    if not frags:
+        return base
+    d = int(mesh.devices.size)
+    cap = _bucket(max(len(p) for _, _, p in frags), config.size_multiple)
+    cfg = config.replace(max_points=cap)
+    run = make_dp_extract(cfg, mesh)
+    fallback = None
+    times = []
+    for g0 in range(0, len(frags), d):
+        group = frags[g0:g0 + d]
+        # short last group: pad with repeats of the last fragment
+        padded_group = group + [group[-1]] * (d - len(group))
+        points, ns = pad_fragments([p for _, _, p in padded_group], cap)
+        t0 = time.perf_counter()
+        desc, score, ok = run(variables, points, ns)
+        desc, score, ok = (np.asarray(jax.device_get(desc)),
+                           np.asarray(jax.device_get(score)),
+                           np.asarray(jax.device_get(ok)))
+        times.append((time.perf_counter() - t0) / len(group))
+        for i, (scene, frag_id, pts) in enumerate(group):
+            n = len(pts)
+            if ok[i]:
+                dump_fragment(dirs, scene, frag_id, pts,
+                              desc[i, :n], score[i, :n])
+            else:
+                if fallback is None:
+                    fallback = DescriptorExtractor(config, variables,
+                                                   device_pyramid=True)
+                fdesc, fscore = fallback.extract(pts)
+                dump_fragment(dirs, scene, frag_id, pts, fdesc, fscore)
+    print(f'Average feature extraction time: {np.mean(times):.3f} s '
+          f'({d}-device mesh)')
+    return base
+
+
 def pad_fragments(clouds: List[np.ndarray], cap: int
                   ) -> Tuple[np.ndarray, np.ndarray]:
     """Stack variable-size clouds into ([D, cap, 3] @ 1e6 padding, [D])."""

@@ -151,6 +151,35 @@ class DescriptorExtractor:
         return desc, score
 
 
+def _experiment_dirs(out_root: str, experiment: str) -> Tuple[str, Dict]:
+    base = os.path.join(out_root, f'D3Feat_{experiment}')
+    dirs = {k: os.path.join(base, k)
+            for k in ('descriptors', 'keypoints', 'scores')}
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+    return base, dirs
+
+
+def dump_fragment(dirs: Dict, scene: str, frag_id: int,
+                  points: np.ndarray, desc: np.ndarray,
+                  score: np.ndarray) -> None:
+    """Write one fragment in the reference tester's exact layout: all
+    points sorted by detection score ascending (utils/tester.py:208-212)
+    — consumers take the LAST k entries as the top-k keypoints."""
+    order = np.argsort(score)
+    for k in dirs.values():
+        os.makedirs(os.path.join(k, scene), exist_ok=True)
+    np.save(os.path.join(dirs['descriptors'], scene,
+                         f'cloud_bin_{frag_id}.D3Feat.npy'),
+            desc[order].astype(np.float32))
+    np.save(os.path.join(dirs['keypoints'], scene,
+                         f'cloud_bin_{frag_id}.npy'),
+            points[order].astype(np.float32))
+    np.save(os.path.join(dirs['scores'], scene,
+                         f'cloud_bin_{frag_id}.npy'),
+            score[order].astype(np.float32))
+
+
 def generate_descriptors(
     extractor: DescriptorExtractor,
     fragments: Iterable[Tuple[str, int, np.ndarray]],
@@ -159,28 +188,10 @@ def generate_descriptors(
 ) -> str:
     """Run dense extraction over (scene, frag_id, points) fragments and dump
     the reference layout. Returns the experiment directory."""
-    base = os.path.join(out_root, f'D3Feat_{experiment}')
-    dirs = {k: os.path.join(base, k)
-            for k in ('descriptors', 'keypoints', 'scores')}
-    for d in dirs.values():
-        os.makedirs(d, exist_ok=True)
-
+    base, dirs = _experiment_dirs(out_root, experiment)
     for scene, frag_id, points in fragments:
         desc, score = extractor.extract(points)
-        # all points, sorted by score ascending (utils/tester.py:208-212) —
-        # consumers take the LAST k entries as the top-k keypoints
-        order = np.argsort(score)
-        for k in dirs.values():
-            os.makedirs(os.path.join(k, scene), exist_ok=True)
-        np.save(os.path.join(dirs['descriptors'], scene,
-                             f'cloud_bin_{frag_id}.D3Feat.npy'),
-                desc[order].astype(np.float32))
-        np.save(os.path.join(dirs['keypoints'], scene,
-                             f'cloud_bin_{frag_id}.npy'),
-                points[order].astype(np.float32))
-        np.save(os.path.join(dirs['scores'], scene,
-                             f'cloud_bin_{frag_id}.npy'),
-                score[order].astype(np.float32))
+        dump_fragment(dirs, scene, frag_id, points, desc, score)
     if extractor.timer:
         print(f'Average feature extraction time: '
               f'{np.mean(extractor.timer):.3f} s')

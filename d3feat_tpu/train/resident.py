@@ -32,10 +32,17 @@ from d3feat_tpu.train.trainer import make_resident_train_step
 from d3feat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
 
-def _upload(cache):
-    """device_put a shard's stacked pyramids and force completion."""
+def _upload(cache, mesh=None):
+    """device_put a shard's stacked pyramids and force completion.
+
+    With a mesh, the pair axis is sharded contiguously across devices
+    (`parallel.shard_resident`): dataset HBM scales OUT with the mesh."""
     t0 = time.perf_counter()
-    resident = jax.device_put(cache.stacked_pyramids())
+    if mesh is not None:
+        from d3feat_tpu.parallel.data_parallel import shard_resident
+        resident = shard_resident(cache.stacked_pyramids(), mesh)
+    else:
+        resident = jax.device_put(cache.stacked_pyramids())
     jax.block_until_ready(jax.tree.leaves(resident)[0])
     n_bytes = sum(x.size * x.dtype.itemsize
                   for x in jax.tree.leaves(resident))
@@ -54,6 +61,7 @@ def run_resident_training(
     epochs: Optional[int] = None,
     restore_snap: Optional[str] = None,
     shard_epochs: int = 1,
+    mesh=None,
 ) -> None:
     """Upload the cache to HBM and run the training loop with recovery.
 
@@ -67,17 +75,33 @@ def run_resident_training(
     shard sizes keep the jitted step's shapes constant — one compile.
     The swap costs one upload (~0.5 min/GB on the tunnel); amortize with
     `shard_epochs` > 1 on slow links.
+
+    With `mesh` (a 1-axis jax.sharding.Mesh), the resident pool is
+    SHARDED across the mesh's device HBM and each step trains one pair
+    per device with an ICI gradient pmean
+    (`parallel.make_resident_dp_train_step`): D-way throughput AND D-way
+    dataset memory from the same loop.
     """
     os.makedirs(save_dir, exist_ok=True)
     cfg.save(os.path.join(save_dir, 'parameters.txt'))
     shards = list(cache) if isinstance(cache, (list, tuple)) else [cache]
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None:
+        for s in shards:
+            s.pad_to_multiple(n_dev, rng)
     if len({len(s) for s in shards}) > 1:
         raise ValueError('resident pool shards must be equal-size '
                          '(one jit compile); use split_shards')
     shard_idx = -1           # uploaded lazily at the first epoch (shard
     resident = None          # choice keys off the epoch number on resume)
 
-    step_fn = make_resident_train_step(cfg)
+    if mesh is not None:
+        from d3feat_tpu.parallel.data_parallel import (
+            make_resident_dp_train_step)
+        make_step = lambda c: make_resident_dp_train_step(c, mesh)  # noqa
+    else:
+        make_step = make_resident_train_step
+    step_fn = make_step(cfg)
     kill_file = os.path.join(save_dir, 'running_PID.txt')
     with open(kill_file, 'w') as fh:
         fh.write(str(os.getpid()))
@@ -107,10 +131,12 @@ def run_resident_training(
                         x.delete()       # free HBM BEFORE the next upload
                 shard_idx = want
                 cache = shards[shard_idx]
-                resident = _upload(cache)
+                resident = _upload(cache, mesh)
             epoch_healthy = True
             for i in range(cfg.epoch_steps):
-                small = cache.sample_small_batch(rng)
+                small = (cache.sample_small_batch_dp(rng, n_dev)
+                         if mesh is not None
+                         else cache.sample_small_batch(rng))
                 state, metrics = step_fn(state, resident, small)
                 if i % 100 == 0:
                     # one device_get for the whole dict: per-scalar float()
@@ -145,8 +171,9 @@ def run_resident_training(
                                 f'lr scale -> {lr_scale}')
                         print(note, flush=True)
                         log_f.write(note + '\n'); log_f.flush()
-                        state = restore_checkpoint(last_good_snap, state)
-                        step_fn = make_resident_train_step(run_cfg)
+                        state = restore_checkpoint(
+                            last_good_snap, jax.device_get(state))
+                        step_fn = make_step(run_cfg)
                         bad_checks = 0
                         dead_checks = 0
                         epoch_healthy = False

@@ -31,6 +31,10 @@ def main():
     ap.add_argument('--device-pyramid', action='store_true',
                     help='build the multiscale pyramid on the accelerator\n'
                          '(data/pyramid_device.py) instead of the host')
+    ap.add_argument('--dp', type=int, default=0,
+                    help='mesh-data-parallel extraction over N devices '
+                         '(one fragment per device, on-device pyramids; '
+                         'parallel/extract.py)')
     ap.add_argument('--snapshot', required=False, default=None)
     default_gt = os.path.join(os.path.dirname(__file__), '..', 'data',
                               'gt_result')
@@ -86,10 +90,17 @@ def main():
                      'batch_stats': state.batch_stats,
                      'kpoints': state.kpoints}
 
-    extractor = DescriptorExtractor(cfg, variables,
-                                    device_pyramid=args.device_pyramid)
-    out_dir = generate_descriptors(extractor, dataset.test_fragments(),
-                                   args.out, args.experiment)
+    if args.dp:
+        from d3feat_tpu.parallel import make_mesh
+        from d3feat_tpu.parallel.extract import generate_descriptors_dp
+        out_dir = generate_descriptors_dp(
+            cfg, variables, dataset.test_fragments(), args.out,
+            args.experiment, make_mesh(args.dp))
+    else:
+        extractor = DescriptorExtractor(cfg, variables,
+                                        device_pyramid=args.device_pyramid)
+        out_dir = generate_descriptors(extractor, dataset.test_fragments(),
+                                       args.out, args.experiment)
     print(f'dumped descriptors under {out_dir}')
 
     if args.gt:

@@ -128,10 +128,16 @@ def main():
         from d3feat_tpu.train.resident import run_resident_training
         pool = (cache.split_shards(args.pool_shards, rng)
                 if args.pool_shards > 1 else cache)
+        mesh = None
+        if args.dp:
+            # mesh-sharded resident pool + per-device pairs + ICI grad
+            # pmean: D-way throughput and D-way dataset memory
+            from d3feat_tpu.parallel import make_mesh
+            mesh = make_mesh(args.dp)
         run_resident_training(
             cfg, pool, state, save_dir, rng=rng, epochs=args.epochs,
             restore_snap=snap if args.restore else None,
-            shard_epochs=args.shard_epochs)
+            shard_epochs=args.shard_epochs, mesh=mesh)
         return
 
     from d3feat_tpu.data.loader import prefetch

@@ -145,3 +145,43 @@ def test_resident_dp_matches_dp(rng):
                     jax.tree.leaves(new_state2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_resident_dp_loop_end_to_end(rng, tmp_path):
+    """run_resident_training on a 4-device mesh: pads the pool to the
+    device count, shards it across HBM, rotates shards, trains with the
+    pmean step, snapshots — and the snapshot restores into the
+    single-device path (VERDICT r2 item 3)."""
+    from d3feat_tpu.data.cache import PairPyramidCache
+    from d3feat_tpu.train.resident import run_resident_training
+    from d3feat_tpu.train.trainer import create_train_state
+    from d3feat_tpu.utils.checkpoint import restore_checkpoint
+    from test_train import synthetic_pair, tiny_cfg
+
+    n_dev = 4
+    cfg = tiny_cfg(epoch_steps=2)
+    cache = PairPyramidCache(cfg)
+    for i in range(6):   # 6 pairs -> 2 shards of 3 -> padded to 4 each
+        anc, pos, corr = synthetic_pair(np.random.default_rng(i), n=250)
+        cache.add_pair(anc, pos, corr)
+    shards = cache.split_shards(2, np.random.default_rng(0))
+    mesh = make_mesh(n_dev)
+
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    save = str(tmp_path / 'dp_run')
+    run_resident_training(cfg, shards, state, save,
+                          rng=np.random.default_rng(1), epochs=4,
+                          shard_epochs=1, mesh=mesh)
+    assert all(len(s) == 4 for s in shards)      # padded to the mesh
+    log = (tmp_path / 'dp_run' / 'training.txt').read_text()
+    assert 'rotating resident pool shard' in log
+
+    # the DP snapshot restores into a fresh single-device state
+    state2 = create_train_state(cfg, variables)
+    restored = restore_checkpoint(str(tmp_path / 'dp_run' / 'snap-3'),
+                                  state2)
+    assert int(restored.step) == 8               # 4 epochs x 2 steps
+    for leaf in jax.tree.leaves(restored.params):
+        assert np.isfinite(np.asarray(leaf)).all()
