@@ -40,6 +40,13 @@ def main():
                     help='device-resident cached dataset (tunneled TPUs); '
                          'disables scale augmentation — see module doc')
     ap.add_argument('--max-cached-pairs', type=int, default=None)
+    ap.add_argument('--pool-shards', type=int, default=1,
+                    help='resident: rotate the cached pool through HBM in '
+                         'N equal shards (see train_3dmatch.py)')
+    ap.add_argument('--shard-epochs', type=int, default=2)
+    ap.add_argument('--dp', type=int, default=0,
+                    help='resident: mesh-data-parallel over N devices '
+                         '(sharded pool + ICI grad pmean)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -98,8 +105,15 @@ def main():
 
     if args.resident:
         from d3feat_tpu.train.resident import run_resident_training
-        run_resident_training(cfg, cache, state, save_dir, rng=rng,
-                              epochs=args.epochs, restore_snap=snap)
+        pool = (cache.split_shards(args.pool_shards, rng)
+                if args.pool_shards > 1 else cache)
+        mesh = None
+        if args.dp:
+            from d3feat_tpu.parallel import make_mesh
+            mesh = make_mesh(args.dp)
+        run_resident_training(cfg, pool, state, save_dir, rng=rng,
+                              epochs=args.epochs, restore_snap=snap,
+                              shard_epochs=args.shard_epochs, mesh=mesh)
         return
 
     trainer = Trainer(cfg, save_dir)

@@ -1,0 +1,106 @@
+"""Evaluate new training snapshots on the held-out eval as they appear.
+
+Polls a training log dir; whenever a new snap-N (N >= --start, at the
+--every stride) is complete, copies it + parameters.txt to a temp dir,
+runs the FMR evaluation (`scripts/test_3dmatch.py` flow) and appends one
+JSON line per snapshot to {log_dir}/eval_fmr.jsonl.  Checkpoint
+selection policy (CLAUDE.md): pick the flagship by held-out eval, never
+by step metrics.
+
+Usage:
+  python scripts/watch_eval.py --log-dir results/Log_synth_r3 \
+      --data data/synth3dm [--every 2] [--start 16]
+"""
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def snaps_present(log_dir):
+    out = []
+    for name in os.listdir(log_dir):
+        if name.startswith('snap-'):
+            try:
+                out.append(int(name.split('-')[1]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def evaluate(log_dir, data, n, num_keypts):
+    with tempfile.TemporaryDirectory() as tmp:
+        shutil.copytree(os.path.join(log_dir, f'snap-{n}'),
+                        os.path.join(tmp, f'snap-{n}'))
+        shutil.copy(os.path.join(log_dir, 'parameters.txt'), tmp)
+        cmd = [sys.executable, os.path.join(REPO, 'scripts',
+                                            'test_3dmatch.py'),
+               '--data', data,
+               '--scenes', os.path.join(data, 'test_scenes.txt'),
+               '--gt', os.path.join(data, 'gt_result'),
+               '--snapshot', tmp,
+               '--num-keypts', str(num_keypts),
+               '--experiment', f'watch_snap{n}']
+        res = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=3600)
+    scene_stats = {}
+    avg = None
+    for line in res.stdout.splitlines():
+        if ': recall=' in line:
+            scene, rest = line.split(': recall=')
+            rec, rest2 = rest.split(' inlier_ratio=')
+            scene_stats[scene] = {
+                'fmr': float(rec),
+                'inlier_ratio': float(rest2.split()[0])}
+        elif line.startswith('average FMR'):
+            avg = float(line.rsplit(' ', 1)[1])
+    return {'snap': n, 'fmr': avg, 'scenes': scene_stats,
+            'ok': res.returncode == 0,
+            'err': None if res.returncode == 0 else res.stderr[-800:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--log-dir', required=True)
+    ap.add_argument('--data', required=True)
+    ap.add_argument('--every', type=int, default=2,
+                    help='evaluate every Nth snapshot (eval contends '
+                         'with training on the one chip)')
+    ap.add_argument('--start', type=int, default=0)
+    ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--poll-s', type=int, default=60)
+    args = ap.parse_args()
+
+    out_path = os.path.join(args.log_dir, 'eval_fmr.jsonl')
+    done = set()
+    if os.path.exists(out_path):
+        with open(out_path) as fh:
+            done = {json.loads(l)['snap'] for l in fh if l.strip()}
+    while True:
+        present = [n for n in snaps_present(args.log_dir)
+                   if n >= args.start and n % args.every == 0
+                   and n not in done]
+        if present:
+            n = present[-1]          # newest eligible first
+            t0 = time.time()
+            rec = evaluate(args.log_dir, args.data, n, args.num_keypts)
+            rec['eval_s'] = round(time.time() - t0, 1)
+            with open(out_path, 'a') as fh:
+                fh.write(json.dumps(rec) + '\n')
+            print(f'snap-{n}: FMR={rec["fmr"]} ({rec["eval_s"]}s)',
+                  flush=True)
+            done.add(n)
+            # also pick up older skipped ones next loop if idle
+        else:
+            time.sleep(args.poll_s)
+
+
+if __name__ == '__main__':
+    main()
