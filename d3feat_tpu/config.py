@@ -139,6 +139,13 @@ class Config:
     # The network input feature is the constant 1 (ThreeDMatch.py:316);
     # enables the gather-free first conv. Set False if feeding real features.
     ones_input_features: bool = True
+    # Detection-head precision: 'compute' follows compute_dtype;
+    # 'float32' runs the head (gather + saliency) in f32 even on the bf16
+    # fast path.  The 250-keypoint score cut amplifies bf16
+    # accumulation-order noise into different keypoint SETS between the
+    # host- and device-pyramid paths (VALIDATION.md round 2); an f32 head
+    # removes that at ~+3 ms for the 3.6M-row head gather.
+    score_dtype: str = 'compute'
 
     # ---- training ----------------------------------------------------------
     max_epoch: int = 200

@@ -157,12 +157,15 @@ class KPFCNN(nn.Module):
         sq = jnp.sum(jnp.square(features), axis=1, keepdims=True)
         descriptors = features * jax.lax.rsqrt(jnp.maximum(sq, 1e-10))
 
-        gather_dtype = (jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+        gather_dtype = (jnp.bfloat16 if (cfg.compute_dtype == 'bfloat16'
+                                         and cfg.score_dtype != 'float32')
                         else jnp.float32)
         inv0 = pyramid.get('inv_neighbors', (None,))[0]
+        head_features = (features.astype(jnp.float32)
+                         if cfg.score_dtype == 'float32' else features)
         scores = detection_scores(
             pyramid['neighbors'][0], pyramid['cloud_inds'],
-            pyramid['masks'][0], features,
+            pyramid['masks'][0], head_features,
             num_clouds=pyramid['lengths'][0].shape[0],
             gather_dtype=gather_dtype, inv=inv0,
             lengths=pyramid['lengths'][0])
