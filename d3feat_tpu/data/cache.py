@@ -37,7 +37,7 @@ Per-step host work drops to correspondence sampling + dict assembly
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
@@ -262,6 +262,43 @@ def build_cache_from_dataset(dataset, split: str, config: Config,
             cache.add_pair(anc, pos, dataset.corr[split][key])
         except ValueError:
             continue  # exceeds static capacities, same as a skip
+    return cache
+
+
+def build_cache_for_keys(dataset, split: str, config: Config,
+                         keys: Sequence[str],
+                         min_points: Optional[int] = None,
+                         max_points: Optional[int] = None,
+                         ) -> PairPyramidCache:
+    """Cache EXACTLY the given pair keys, in order — the multi-host
+    resident path (`parallel.multihost.process_pair_assignment`) needs
+    every host's cache to hold pairs_per_device x local_devices entries
+    in device-block order.
+
+    A pair that fails the size gate or overflows the static capacities is
+    replaced by a repeat of the previous cached pair instead of being
+    skipped: block alignment is preserved with a purely local decision
+    (no cross-host coordination), at the cost of slightly reweighting
+    sampling toward the substitute."""
+    from d3feat_tpu.data.threedmatch import (MAX_TRAIN_POINTS,
+                                             MIN_TRAIN_POINTS)
+    lo = MIN_TRAIN_POINTS if min_points is None else min_points
+    hi = MAX_TRAIN_POINTS if max_points is None else max_points
+    cache = PairPyramidCache(config)
+    for key in keys:
+        anc_id, pos_id = key.split('@')
+        anc = dataset.points[split][anc_id]
+        pos = dataset.points[split][pos_id]
+        try:
+            if not (lo <= len(anc) <= hi and lo <= len(pos) <= hi):
+                raise ValueError('size gate')
+            cache.add_pair(anc, pos, dataset.corr[split][key])
+        except ValueError:
+            if not cache._pairs:
+                raise ValueError(
+                    f'first assigned pair {key} unbuildable — cannot '
+                    f'substitute; raise max_points or fix the assignment')
+            cache._pairs.append(cache._pairs[-1])
     return cache
 
 

@@ -136,3 +136,23 @@ class MultiHostResidentSampler:
         if assemble:
             return assemble_global(stacked, self.mesh, self.axis)
         return stacked
+
+    # -- resident-loop pool interface (train.resident) -----------------------
+    # The sampler can stand in for a PairPyramidCache in
+    # `run_resident_training(..., mesh=...)`: upload via assemble_global,
+    # per-step payloads pre-assembled as global sharded arrays.
+    def __len__(self) -> int:
+        return len(self.cache) * jax.process_count()
+
+    def pad_to_multiple(self, d: int, rng) -> None:
+        # process_pair_assignment already padded to pairs_per_device x D
+        if (self.k * self.local_dev * jax.process_count()) % d:
+            raise ValueError('assignment does not cover the mesh')
+
+    def sample_small_batch_dp(self, rng: np.random.Generator,
+                              n_devices: int, augment: bool = True) -> Dict:
+        if n_devices != self.local_dev * jax.process_count():
+            raise ValueError(f'sampler assigned for '
+                             f'{self.local_dev * jax.process_count()} '
+                             f'devices, step wants {n_devices}')
+        return self.sample(rng, augment=augment, assemble=True)

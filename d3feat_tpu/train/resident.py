@@ -38,7 +38,12 @@ def _upload(cache, mesh=None):
     With a mesh, the pair axis is sharded contiguously across devices
     (`parallel.shard_resident`): dataset HBM scales OUT with the mesh."""
     t0 = time.perf_counter()
-    if mesh is not None:
+    if hasattr(cache, 'resident'):
+        # multi-host sampler: each process uploads its local stack and
+        # the global sharded arrays are assembled across processes
+        # (parallel.multihost.assemble_global)
+        resident = cache.resident()
+    elif mesh is not None:
         from d3feat_tpu.parallel.data_parallel import shard_resident
         resident = shard_resident(cache.stacked_pyramids(), mesh)
     else:

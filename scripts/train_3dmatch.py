@@ -62,6 +62,12 @@ def main():
                          'incident 3)')
     ap.add_argument('--shard-epochs', type=int, default=2,
                     help='epochs between resident pool shard rotations')
+    ap.add_argument('--multihost', action='store_true',
+                    help='with --resident --dp N: each host process '
+                         'caches only its devices\' pair blocks and the '
+                         'global resident arrays are assembled across '
+                         'processes (parallel/multihost.py; single-'
+                         'process runs exercise the identical code path)')
     ap.add_argument('--val-size', type=int, default=None,
                     help='validation batches per epoch (default: config)')
     ap.add_argument('--cpu', action='store_true')
@@ -95,9 +101,30 @@ def main():
     rng = np.random.default_rng(42)
     val_rng = np.random.default_rng(7)
 
+    if args.multihost and not (args.resident and args.dp):
+        ap.error('--multihost requires --resident --dp N')
+    if args.multihost and args.pool_shards > 1:
+        ap.error('--multihost does not compose with --pool-shards yet '
+                 '(one resident pool per host)')
     if args.resident:
         args.cached = True
-    if args.cached:
+    if args.multihost:
+        # deterministic global key order -> identical assignment on every
+        # host; this process caches only its devices' blocks
+        from d3feat_tpu.data.cache import build_cache_for_keys
+        from d3feat_tpu.parallel.multihost import process_pair_assignment
+        import time as _t
+        keys_all = sorted(dataset.pair_keys['train'])
+        local_keys, k_per_dev, local_dev = process_pair_assignment(
+            keys_all, args.dp)
+        t0 = _t.perf_counter()
+        cache = build_cache_for_keys(dataset, 'train', cfg, local_keys)
+        print(f'multihost: cached {len(cache)} local pair pyramids '
+              f'({k_per_dev}/device x {local_dev} local devices) in '
+              f'{_t.perf_counter() - t0:.0f} s', flush=True)
+        train_fn = lambda: cache.train_batches(rng)  # noqa: E731
+        train_it = cache.train_batches(rng)
+    elif args.cached:
         from d3feat_tpu.data.cache import build_cache_from_dataset
         import time as _t
         t0 = _t.perf_counter()
@@ -126,14 +153,20 @@ def main():
 
     if args.resident:
         from d3feat_tpu.train.resident import run_resident_training
-        pool = (cache.split_shards(args.pool_shards, rng)
-                if args.pool_shards > 1 else cache)
         mesh = None
         if args.dp:
             # mesh-sharded resident pool + per-device pairs + ICI grad
             # pmean: D-way throughput and D-way dataset memory
             from d3feat_tpu.parallel import make_mesh
             mesh = make_mesh(args.dp)
+        if args.multihost:
+            from d3feat_tpu.parallel.multihost import (
+                MultiHostResidentSampler)
+            pool = MultiHostResidentSampler(cache, k_per_dev, local_dev,
+                                            mesh)
+        else:
+            pool = (cache.split_shards(args.pool_shards, rng)
+                    if args.pool_shards > 1 else cache)
         run_resident_training(
             cfg, pool, state, save_dir, rng=rng, epochs=args.epochs,
             restore_snap=snap if args.restore else None,

@@ -104,3 +104,55 @@ def test_multihost_resident_step(rng):
     _, metrics2 = rstep(state, resident, small_np)
     np.testing.assert_allclose(float(metrics['total']),
                                float(metrics2['total']), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_multihost_sampler_drives_resident_loop(rng, tmp_path):
+    """MultiHostResidentSampler stands in for the cache in
+    run_resident_training(mesh=...): the single-process degenerate case
+    of the multi-host CLI path (train_3dmatch.py --multihost)."""
+    from d3feat_tpu.data.cache import PairPyramidCache
+    from d3feat_tpu.parallel.data_parallel import make_mesh
+    from d3feat_tpu.train.resident import run_resident_training
+    from d3feat_tpu.train.trainer import create_train_state
+    from d3feat_tpu.models import init_kpfcnn
+    from test_train import synthetic_pair, tiny_cfg
+
+    n_dev = 4
+    cfg = tiny_cfg(epoch_steps=2)
+    cache = PairPyramidCache(cfg)
+    for i in range(2 * n_dev):            # 2 pairs per device block
+        anc, pos, corr = synthetic_pair(np.random.default_rng(i), n=250)
+        cache.add_pair(anc, pos, corr)
+    mesh = make_mesh(n_dev)
+    sampler = MultiHostResidentSampler(cache, 2, n_dev, mesh)
+
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    run_resident_training(cfg, sampler, state, str(tmp_path / 'mh'),
+                          rng=np.random.default_rng(1), epochs=2,
+                          mesh=mesh)
+    import os
+    assert os.path.isdir(str(tmp_path / 'mh' / 'snap-1'))
+
+
+def test_build_cache_for_keys_substitutes_in_order():
+    """Unbuildable pairs are replaced by repeats (block alignment is a
+    local decision), never silently dropped."""
+    from d3feat_tpu.data.cache import build_cache_for_keys
+    from test_train import synthetic_pair, tiny_cfg
+
+    cfg = tiny_cfg()
+    anc, pos, corr = synthetic_pair(np.random.default_rng(0), n=250)
+    pts = {'train': {'a': anc, 'b': pos,
+                     'tiny': anc[:10]}}               # fails the size gate
+    cor = {'train': {'a@b': corr, 'a@tiny': corr}}
+
+    class FakeDataset:
+        points = pts
+        corr = cor
+
+    cache = build_cache_for_keys(FakeDataset(), 'train', cfg,
+                                 ['a@b', 'a@tiny'], min_points=50)
+    assert len(cache) == 2
+    assert cache._pairs[1] is cache._pairs[0]         # substituted repeat
