@@ -53,6 +53,11 @@ def main():
     ap.add_argument('--scenes', default=None,
                     help='file listing test scene names (one per line) or '
                          'comma-separated names; default: the official 8')
+    ap.add_argument('--score-dtype', default=None,
+                    choices=['compute', 'float32'],
+                    help="override config.score_dtype ('float32' runs the "
+                         'detection head in f32 on the bf16 fast path — '
+                         'stabilizes the top-k keypoint cut)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -70,6 +75,8 @@ def main():
         cfg = Config.load(os.path.join(args.snapshot, 'parameters.txt'))
     else:
         cfg = threedmatch_config()
+    if args.score_dtype:
+        cfg = cfg.replace(score_dtype=args.score_dtype)
 
     scenes = None
     if args.scenes:
