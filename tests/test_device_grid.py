@@ -42,17 +42,14 @@ def pad_to(pts, cap):
 
 
 def rows_equal_or_same_set(dev, host, shadow_d, shadow_h):
-    """Slot-exact comparison, falling back to set equality per row (covers
-    the documented f32 tie-order divergence)."""
+    """Slot-exact comparison. Since the candidate table carries original
+    indices and the search sorts by (d2, original index) — the host's
+    packed (d2_bits << 32 | index) order exactly — every row must match
+    slot for slot, equidistant ties included (round-3 tightening of the
+    round-2 tie-tolerant check)."""
     exact = (dev == host).all(axis=1)
     bad = np.where(~exact)[0]
-    for b in bad:
-        ds = set(dev[b][dev[b] < shadow_d].tolist())
-        hs = set(host[b][host[b] < shadow_h].tolist())
-        if ds != hs:
-            return False, b
-    # tie-order rows must stay rare
-    return len(bad) <= max(2, dev.shape[0] // 10000), -1
+    return len(bad) == 0, (bad[0] if len(bad) else -1)
 
 
 @pytest.fixture(scope='module')
