@@ -35,7 +35,7 @@ def snaps_present(log_dir):
     return sorted(out)
 
 
-def evaluate(log_dir, data, n, num_keypts):
+def evaluate(log_dir, data, n, num_keypts, device_pyramid=False):
     with tempfile.TemporaryDirectory() as tmp:
         shutil.copytree(os.path.join(log_dir, f'snap-{n}'),
                         os.path.join(tmp, f'snap-{n}'))
@@ -48,6 +48,11 @@ def evaluate(log_dir, data, n, num_keypts):
                '--snapshot', tmp,
                '--num-keypts', str(num_keypts),
                '--experiment', f'watch_snap{n}']
+        if device_pyramid:
+            # on-chip pyramids: ~10x faster extraction, fits alongside a
+            # resident training pool; ONE consistent path for snapshot-
+            # to-snapshot comparison (VALIDATION.md bf16 path caveat)
+            cmd.append('--device-pyramid')
         res = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=3600)
     scene_stats = {}
@@ -75,6 +80,7 @@ def main():
                          'with training on the one chip)')
     ap.add_argument('--start', type=int, default=0)
     ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--device-pyramid', action='store_true')
     ap.add_argument('--poll-s', type=int, default=60)
     args = ap.parse_args()
 
@@ -90,7 +96,8 @@ def main():
         if present:
             n = present[-1]          # newest eligible first
             t0 = time.time()
-            rec = evaluate(args.log_dir, args.data, n, args.num_keypts)
+            rec = evaluate(args.log_dir, args.data, n, args.num_keypts,
+                           device_pyramid=args.device_pyramid)
             rec['eval_s'] = round(time.time() - t0, 1)
             with open(out_path, 'a') as fh:
                 fh.write(json.dumps(rec) + '\n')
