@@ -47,7 +47,10 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False):
                '--gt', os.path.join(data, 'gt_result'),
                '--snapshot', tmp,
                '--num-keypts', str(num_keypts),
-               '--experiment', f'watch_snap{n}']
+               # tag the dump dir with the pyramid path so concurrent
+               # host/device evals of one snapshot never cross-write
+               '--experiment',
+               f'watch{"dev" if device_pyramid else "host"}_snap{n}']
         if device_pyramid:
             # on-chip pyramids: ~10x faster extraction, fits alongside a
             # resident training pool; ONE consistent path for snapshot-
