@@ -96,7 +96,15 @@ class CellTable(NamedTuple):
     cand_pos: jnp.ndarray       # [C_cap, cand_cap] sorted-support positions
     cand_ord: jnp.ndarray       # [C_cap, cand_cap] their ORIGINAL indices
                                 #   (invalid slots = len(sorted_xyz))
-    cand_xyz: jnp.ndarray       # [C_cap, cand_cap, 3] their coordinates
+    cand_flat: jnp.ndarray      # [C_cap, 3*cand_cap] their coordinates,
+                                #   coordinate-BLOCKED (x block | y block |
+                                #   z block).  A [C, cap, 3] field tile-
+                                #   pads its minor dim 3 -> 128 lanes
+                                #   (42.7x HBM: 20.6 GB at the widest
+                                #   retry rung, the round-3 OOM); the
+                                #   flat layout stores exactly the
+                                #   logical bytes and the search slices
+                                #   per-coordinate [C, cap] views
     cand_valid: jnp.ndarray     # [C_cap, cand_cap] bool
     ok: jnp.ndarray             # scalar bool: no cap overflowed
 
@@ -231,16 +239,35 @@ def build_cell_table(
     pos = sel_shift + t[None, :]
     cand_valid = t[None, :] < jnp.minimum(total, cand_cap)[:, None]
     pos = jnp.clip(pos, 0, m - 1)
-    cand_xyz = sxyz[pos]                                     # [C, cap, 3]
-    # invalid slots get a far-away coordinate so d2 can never pass
-    cand_xyz = jnp.where(cand_valid[..., None], cand_xyz, 2 * _PAD_POS)
+    # candidate coordinates, coordinate-blocked flat [C, 3*cap] (see the
+    # CellTable field doc).  The [cc, cap, 3] row-gather result exists
+    # only per lax.map chunk, so its padded form stays transient; invalid
+    # slots get a far-away coordinate so d2 can never pass.
+    def _flat_chunk(args):
+        p, v = args
+        g = sxyz[p]                                  # [cc, cap, 3]
+        g = jnp.where(v[..., None], g, 2 * _PAD_POS)
+        return jnp.concatenate([g[..., 0], g[..., 1], g[..., 2]], axis=1)
+
+    c_chunk = 2048
+    c_cap = pos.shape[0]
+    if c_cap > c_chunk:
+        c_pad = -(-c_cap // c_chunk) * c_chunk
+        pos_p = jnp.pad(pos, ((0, c_pad - c_cap), (0, 0)))
+        val_p = jnp.pad(cand_valid, ((0, c_pad - c_cap), (0, 0)))
+        cand_flat = jax.lax.map(
+            _flat_chunk, (pos_p.reshape(-1, c_chunk, cand_cap),
+                          val_p.reshape(-1, c_chunk, cand_cap)))
+        cand_flat = cand_flat.reshape(c_pad, 3 * cand_cap)[:c_cap]
+    else:
+        cand_flat = _flat_chunk((pos, cand_valid))
     # original indices resolved at BUILD time (cells << queries): the
     # search sorts by (d2, original index) exactly like the host's packed
     # (d2_bits << 32 | index) keys, and needs no order[] gather of its own
     cand_ord = jnp.where(cand_valid, order[pos], m)
     return CellTable(sxyz, order, origin, inv_cell, ckey,
                      pos.astype(jnp.int32), cand_ord.astype(jnp.int32),
-                     cand_xyz, cand_valid, ok)
+                     cand_flat, cand_valid, ok)
 
 
 def radius_search(
@@ -283,8 +310,16 @@ def radius_search(
 
     def one_chunk(args):
         q_xyz, rk, hc = args
-        cand = table.cand_xyz[rk]                            # [c, cap, 3]
-        d2 = jnp.sum((cand - q_xyz[:, None, :]) ** 2, -1)
+        # coordinate-blocked flat rows: one [c]-row gather, then pure
+        # elementwise [c, cap] math — no rank-3 tensor (whose minor-3 dim
+        # would tile-pad 42.7x) ever materializes
+        flat = table.cand_flat[rk]                           # [c, 3*cap]
+        dx = flat[:, :cand_cap] - q_xyz[:, 0:1]
+        dy = flat[:, cand_cap:2 * cand_cap] - q_xyz[:, 1:2]
+        dz = flat[:, 2 * cand_cap:] - q_xyz[:, 2:3]
+        # (x + y) + z: the same f32 association as jnp.sum over a minor-3
+        # axis, so d2 stays bit-identical to the host's accumulation
+        d2 = dx * dx + dy * dy + dz * dz
         good = (d2 <= r2) & hc[:, None]
         # selection via ONE payload-carrying sort, NOT top_k +
         # take_along_axis (element-gather take_alongs over [N, cand_cap]
