@@ -158,6 +158,13 @@ class Config:
     # stability guard with no reference analog: skip updates whose global
     # grad norm exceeds this (0 = off). See trainer.skip_spike_updates.
     grad_skip_threshold: float = 0.0
+    # scale grads down to this global norm when exceeded (0 = off).
+    # Unlike the skip guard every step still contributes a bounded update
+    # — the round-3 run at lr 0.02 skipped 67% of its steps and froze;
+    # clipping keeps the direction and bounds the magnitude. Applied to
+    # the raw grads before the optax chain (same state-invariance rule
+    # as the skip guard).
+    grad_global_clip: float = 0.0
     weights_decay: float = 1e-6           # L2 on conv/unary weights (utils/config.py:137)
     batch_num: int = 1                    # fragment pairs per step
     keypts_num: int = 256                 # correspondences per pair

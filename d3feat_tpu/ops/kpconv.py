@@ -305,8 +305,12 @@ def kpconv_apply(
     l = table.shape[1]
     p, c_in, c_out = kernel_weights.shape
     nf = maybe_gather_rows(table, neighbor_inds, inv)          # [Nq, K, L]
+    # Emit wf in the compute dtype: the MXU accumulates the K-contraction
+    # in f32 either way, so a bf16 wf holds exactly astype(f32_wf, bf16)
+    # — bit-identical to the old f32-materialize-then-cast, at half the
+    # [Nq, P, L] HBM traffic (~822 MB -> 411 MB at 100k points, L0).
     wf = jnp.einsum('npk,nkl->npl', weights, nf,
-                    preferred_element_type=jnp.float32)
+                    preferred_element_type=weights.dtype)
     kw = jnp.zeros((p, l, c_out), dtype=weights.dtype)
     kw = kw.at[:, :c_in, :].set(kernel_weights.astype(weights.dtype))
     out = jnp.einsum('npl,plo->no', wf.astype(weights.dtype), kw,

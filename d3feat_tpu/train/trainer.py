@@ -114,14 +114,28 @@ def spike_guard(grads, config: Config):
     the optax chain's state pytree must stay identical whether the guard
     is on or off so snapshots restore across the setting.
 
+    With `config.grad_global_clip` > 0, grads are first SCALED down to
+    that global norm when exceeded (optax.clip_by_global_norm math, kept
+    out of the chain for the same state-invariance reason): the round-3
+    lr-0.02 run had a median raw gnorm ~5.7 against a skip threshold of
+    2.0 and silently skipped 67% of its updates — training froze for 5
+    epochs.  Clipping keeps every step's direction with a bounded
+    magnitude; the skip threshold (tested against the RAW norm) remains
+    as a backstop for truly pathological steps.
+
     Returns (guarded_grads, gnorm, skipped?).
     """
     gnorm = optax.global_norm(grads)
-    if config.grad_skip_threshold <= 0:
-        return grads, gnorm, jnp.float32(0.0)
-    keep = (gnorm <= config.grad_skip_threshold).astype(jnp.float32)
-    return (jax.tree.map(lambda g: g * keep, grads), gnorm,
-            jnp.float32(1.0) - keep)
+    skipped = jnp.float32(0.0)
+    if config.grad_skip_threshold > 0:
+        keep = (gnorm <= config.grad_skip_threshold).astype(jnp.float32)
+        grads = jax.tree.map(lambda g: g * keep, grads)
+        skipped = jnp.float32(1.0) - keep
+    if config.grad_global_clip > 0:
+        scale = jnp.minimum(1.0, config.grad_global_clip /
+                            jnp.maximum(gnorm, 1e-12))
+        grads = jax.tree.map(lambda g: g * scale, grads)
+    return grads, gnorm, skipped
 
 
 def make_optimizer(config: Config) -> optax.GradientTransformation:

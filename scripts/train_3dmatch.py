@@ -34,6 +34,13 @@ def main():
                          'this (stability guard, see trainer.'
                          'skip_spike_updates; healthy p99 is ~0.4 at '
                          '3DMatch scale — 4.0 is a safe setting)')
+    ap.add_argument('--grad-global-clip', type=float, default=None,
+                    help='scale grads down to this global norm when '
+                         'exceeded (0 = off): every step contributes a '
+                         'bounded update instead of being skipped')
+    ap.add_argument('--score-dtype', default=None,
+                    choices=['compute', 'float32'],
+                    help='detection-head precision (config.score_dtype)')
     ap.add_argument('--max-points', type=int, default=None,
                     help='override the stacked-pair point capacity')
     ap.add_argument('--fdim', type=int, default=None,
@@ -95,6 +102,10 @@ def main():
         cfg = cfg.replace(learning_rate=args.lr)
     if args.grad_skip_threshold is not None:
         cfg = cfg.replace(grad_skip_threshold=args.grad_skip_threshold)
+    if args.grad_global_clip is not None:
+        cfg = cfg.replace(grad_global_clip=args.grad_global_clip)
+    if args.score_dtype is not None:
+        cfg = cfg.replace(score_dtype=args.score_dtype)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)

@@ -33,6 +33,9 @@ def main():
                     help='log dir (latest snap-N) or a snap-N path')
     ap.add_argument('--lr', type=float, default=None)
     ap.add_argument('--grad-skip-threshold', type=float, default=None)
+    ap.add_argument('--grad-global-clip', type=float, default=None)
+    ap.add_argument('--score-dtype', default=None,
+                    choices=['compute', 'float32'])
     ap.add_argument('--max-points', type=int, default=None,
                     help='stacked-pair point capacity (KITTI pairs at '
                          '0.30 m voxel stack to ~60-90k points)')
@@ -68,6 +71,10 @@ def main():
         cfg = cfg.replace(learning_rate=args.lr)
     if args.grad_skip_threshold is not None:
         cfg = cfg.replace(grad_skip_threshold=args.grad_skip_threshold)
+    if args.grad_global_clip is not None:
+        cfg = cfg.replace(grad_global_clip=args.grad_global_clip)
+    if args.score_dtype is not None:
+        cfg = cfg.replace(score_dtype=args.score_dtype)
     if args.resident:
         cfg = cfg.replace(augment_scale_min=1.0, augment_scale_max=1.0)
         print('# resident mode: scale augmentation disabled (cached '

@@ -190,3 +190,37 @@ def test_spike_guard_zeroes_only_outliers_and_keeps_opt_state_shape():
     s_off = jax.tree_util.tree_structure(
         make_optimizer(cfg_off).init(params))
     assert s_on == s_off
+
+
+def test_grad_global_clip_scales_instead_of_skipping():
+    """grad_global_clip: over-norm grads keep their direction at a bounded
+    magnitude (the r3 lr-0.02 run skipped 67% of its updates and froze);
+    the raw gnorm is still reported and the skip backstop fires only far
+    above the clip."""
+    from d3feat_tpu.config import threedmatch_config
+    from d3feat_tpu.train.trainer import spike_guard
+    cfg = threedmatch_config(grad_skip_threshold=20.0,
+                             grad_global_clip=0.5, epoch_steps=10)
+    # norm 0.2 < clip: untouched
+    small = {'w': jnp.full((4,), 0.1)}
+    g, gn, sk = spike_guard(small, cfg)
+    np.testing.assert_array_equal(np.asarray(g['w']), np.asarray(small['w']))
+    assert float(sk) == 0.0
+    # norm 2.0 > clip 0.5: scaled to exactly the clip, not zeroed
+    big = {'w': jnp.full((4,), 1.0)}
+    g2, gn2, sk2 = spike_guard(big, cfg)
+    assert abs(float(gn2) - 2.0) < 1e-6          # raw norm reported
+    assert abs(float(jnp.linalg.norm(g2['w'])) - 0.5) < 1e-6
+    assert float(sk2) == 0.0
+    np.testing.assert_allclose(np.asarray(g2['w']), 0.25 * np.ones(4),
+                               rtol=1e-6)
+    # far above the skip backstop: zeroed
+    huge = {'w': jnp.full((4,), 100.0)}
+    g3, _, sk3 = spike_guard(huge, cfg)
+    assert float(sk3) == 1.0 and float(np.abs(g3['w']).sum()) == 0.0
+    # parameters.txt round-trip keeps the new field
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 'parameters.txt')
+        cfg.save(p)
+        assert type(cfg).load(p).grad_global_clip == 0.5
