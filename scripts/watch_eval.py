@@ -35,7 +35,8 @@ def snaps_present(log_dir):
     return sorted(out)
 
 
-def evaluate(log_dir, data, n, num_keypts, device_pyramid=False):
+def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
+             scenes=None):
     with tempfile.TemporaryDirectory() as tmp:
         shutil.copytree(os.path.join(log_dir, f'snap-{n}'),
                         os.path.join(tmp, f'snap-{n}'))
@@ -43,7 +44,7 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False):
         cmd = [sys.executable, os.path.join(REPO, 'scripts',
                                             'test_3dmatch.py'),
                '--data', data,
-               '--scenes', os.path.join(data, 'test_scenes.txt'),
+               '--scenes', scenes or os.path.join(data, 'test_scenes.txt'),
                '--gt', os.path.join(data, 'gt_result'),
                '--snapshot', tmp,
                '--num-keypts', str(num_keypts),
@@ -84,6 +85,10 @@ def main():
     ap.add_argument('--start', type=int, default=0)
     ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--device-pyramid', action='store_true')
+    ap.add_argument('--scenes', default=None,
+                    help='scene-list file overriding {data}/test_scenes.'
+                         'txt — a subset keeps in-training evals cheap '
+                         '(the full protocol runs once on the finalists)')
     ap.add_argument('--poll-s', type=int, default=60)
     args = ap.parse_args()
 
@@ -100,7 +105,8 @@ def main():
             n = present[-1]          # newest eligible first
             t0 = time.time()
             rec = evaluate(args.log_dir, args.data, n, args.num_keypts,
-                           device_pyramid=args.device_pyramid)
+                           device_pyramid=args.device_pyramid,
+                           scenes=args.scenes)
             rec['eval_s'] = round(time.time() - t0, 1)
             with open(out_path, 'a') as fh:
                 fh.write(json.dumps(rec) + '\n')
