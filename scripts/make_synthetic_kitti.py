@@ -85,6 +85,12 @@ def main():
                     help='car travel per frame (>=10 m pairs need ~3 '
                          'frames apart)')
     ap.add_argument('--range-m', type=float, default=50.0)
+    ap.add_argument('--falloff-r0', type=float, default=12.0,
+                    help='lidar density falloff: keep probability '
+                         'min(1, (r0/r)^2), matching the ~1/r^2 areal '
+                         'return density of a spinning scanner; real '
+                         'KITTI lands at ~15-25k pts per frame after '
+                         'the 0.30 m voxel (set <=0 to disable)')
     ap.add_argument('--length', type=float, default=260.0,
                     help='world length in m (shrink for smoke tests)')
     ap.add_argument('--seed', type=int, default=0)
@@ -126,7 +132,16 @@ def main():
             r_w2v = np.array([[c, s, 0], [-s, c, 0], [0, 0, 1]])
             t = np.array([x, rng.normal(0.0, 0.3), 1.7])
             local = (world - t) @ r_w2v.T
-            keep = np.linalg.norm(local[:, :2], axis=1) < args.range_m
+            r_xy = np.linalg.norm(local[:, :2], axis=1)
+            keep = r_xy < args.range_m
+            if args.falloff_r0 > 0:
+                # areal return density of a spinning scanner falls off
+                # ~1/r^2; without this the flat 14 pts/m^2 world
+                # saturates every 0.30 m voxel out to full range and
+                # frames come out 3x denser than real KITTI
+                p = np.minimum(
+                    1.0, (args.falloff_r0 / np.maximum(r_xy, 1e-3)) ** 2)
+                keep &= rng.random(len(world)) < p
             pts = local[keep].astype(np.float32)
             refl = np.zeros((len(pts), 1), np.float32)
             np.hstack([pts, refl]).astype(np.float32).tofile(
