@@ -62,6 +62,7 @@ class PairPyramidCache:
                              '(augmentation rides the rel vectors)')
         self.config = config
         self._pairs: List[Dict] = []
+        self._stacked = None     # stacked_pyramids memo; see its docstring
 
     def __len__(self) -> int:
         return len(self._pairs)
@@ -78,6 +79,7 @@ class PairPyramidCache:
             'n_anc': len(anc_points),
             'corr': np.asarray(correspondences, np.int64),
         })
+        self._stacked = None
 
     def sample_batch(self, rng: np.random.Generator,
                      augment: bool = True) -> Dict:
@@ -158,15 +160,26 @@ class PairPyramidCache:
         extra = (-len(self._pairs)) % d
         for j in rng.choice(len(self._pairs), extra):
             self._pairs.append(self._pairs[int(j)])
+        if extra:
+            self._stacked = None
 
     # -- device-resident mode (tunneled TPUs) --------------------------------
     def stacked_pyramids(self) -> Dict:
         """Stack every cached pyramid along a new leading axis — the
         device-resident dataset for `make_resident_train_step` (upload
-        once, slice by index on device)."""
-        import jax
-        pyrs = [p['pyramid'] for p in self._pairs]
-        return jax.tree.map(lambda *xs: np.stack(xs), *pyrs)
+        once, slice by index on device).
+
+        Memoized: shard rotation re-uploads the SAME host buffers every
+        cycle.  Rebuilding the multi-GB stack per rotation leaked host
+        memory at ~1 shard-size per cycle (the tunnel client retains a
+        reference to uploaded host buffers; the r3 3DMatch run was
+        OOM-killed by the HOST kernel at 122 GB RSS after ~5 rotations
+        of an 11.4 GB shard — RESULTS.md incident 5)."""
+        if getattr(self, '_stacked', None) is None:
+            import jax
+            pyrs = [p['pyramid'] for p in self._pairs]
+            self._stacked = jax.tree.map(lambda *xs: np.stack(xs), *pyrs)
+        return self._stacked
 
     def sample_small_batch(self, rng: np.random.Generator,
                            augment: bool = True,

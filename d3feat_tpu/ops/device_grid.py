@@ -210,9 +210,12 @@ def build_cell_table(
     hi = jnp.where(p_in, base | zhi, -1)
     # method='sort': the default scan-based binary search is a 17-round
     # lax.scan (~108 ms for these shapes on TPU); the sort-based merge is
-    # ~8 ms (measured, PERF_NOTES.md)
-    start = jnp.searchsorted(skey, lo, side='left', method='sort')
-    end = jnp.searchsorted(skey, hi, side='right', method='sort')
+    # ~8 ms (measured, PERF_NOTES.md).  One merged call for both probe
+    # sets (right == left of key+1 for int keys) instead of two: the
+    # merge sorts the table once, not twice.
+    se = jnp.searchsorted(skey, jnp.concatenate([lo, hi + 1], axis=1),
+                          side='left', method='sort')
+    start, end = se[:, :9], se[:, 9:]
     run = jnp.maximum(end - start, 0)                        # [C, 9]
 
     # compact the 9 runs head-to-tail into cand_cap slots
@@ -240,14 +243,26 @@ def build_cell_table(
     cand_valid = t[None, :] < jnp.minimum(total, cand_cap)[:, None]
     pos = jnp.clip(pos, 0, m - 1)
     # candidate coordinates, coordinate-blocked flat [C, 3*cap] (see the
-    # CellTable field doc).  The [cc, cap, 3] row-gather result exists
-    # only per lax.map chunk, so its padded form stays transient; invalid
-    # slots get a far-away coordinate so d2 can never pass.
+    # CellTable field doc), plus the ORIGINAL index riding the same row
+    # as a bitcast 4th lane: the table materialization is gather-rate
+    # bound (~250M rows/s), and a separate order[pos] element gather was
+    # a second full pass at the same rate — one [M, 4]-row gather does
+    # both (measured: L0 table build 86 -> ~55 ms @ 100k).  The [cc,
+    # cap, 4] row-gather result exists only per lax.map chunk, so its
+    # lane-padded form stays transient; invalid slots get a far-away
+    # coordinate so d2 can never pass.
+    sxyzo = jnp.concatenate(
+        [sxyz, jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]],
+        axis=1)
+
     def _flat_chunk(args):
         p, v = args
-        g = sxyz[p]                                  # [cc, cap, 3]
-        g = jnp.where(v[..., None], g, 2 * _PAD_POS)
-        return jnp.concatenate([g[..., 0], g[..., 1], g[..., 2]], axis=1)
+        g = sxyzo[p]                                 # [cc, cap, 4]
+        xyz = jnp.where(v[..., None], g[..., :3], 2 * _PAD_POS)
+        flat = jnp.concatenate([xyz[..., 0], xyz[..., 1], xyz[..., 2]],
+                               axis=1)
+        o = jax.lax.bitcast_convert_type(g[..., 3], jnp.int32)
+        return flat, jnp.where(v, o, m)
 
     c_chunk = 2048
     c_cap = pos.shape[0]
@@ -255,16 +270,16 @@ def build_cell_table(
         c_pad = -(-c_cap // c_chunk) * c_chunk
         pos_p = jnp.pad(pos, ((0, c_pad - c_cap), (0, 0)))
         val_p = jnp.pad(cand_valid, ((0, c_pad - c_cap), (0, 0)))
-        cand_flat = jax.lax.map(
+        cand_flat, cand_ord = jax.lax.map(
             _flat_chunk, (pos_p.reshape(-1, c_chunk, cand_cap),
                           val_p.reshape(-1, c_chunk, cand_cap)))
         cand_flat = cand_flat.reshape(c_pad, 3 * cand_cap)[:c_cap]
+        cand_ord = cand_ord.reshape(c_pad, cand_cap)[:c_cap]
     else:
-        cand_flat = _flat_chunk((pos, cand_valid))
+        cand_flat, cand_ord = _flat_chunk((pos, cand_valid))
     # original indices resolved at BUILD time (cells << queries): the
     # search sorts by (d2, original index) exactly like the host's packed
     # (d2_bits << 32 | index) keys, and needs no order[] gather of its own
-    cand_ord = jnp.where(cand_valid, order[pos], m)
     return CellTable(sxyz, order, origin, inv_cell, ckey,
                      pos.astype(jnp.int32), cand_ord.astype(jnp.int32),
                      cand_flat, cand_valid, ok)
@@ -331,10 +346,26 @@ def radius_search(
         # truncation the row is already ascending with shadow pads last.
         d2m = jnp.where(good, d2, jnp.inf)
         ordm = jnp.where(good, table.cand_ord[rk], shadow)
-        posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
-        _, idx, pos = jax.lax.sort((d2m, ordm, posrow), num_keys=2)
-        idx = idx[:, :max_neighbors]
-        pos = pos[:, :max_neighbors]
+        if max_neighbors == 1:
+            # K == 1 (the upsample search): a full cand_cap-wide
+            # 3-operand sort for a single nearest neighbor measured
+            # 40 ms at 100k queries; two VPU min-reductions produce the
+            # identical (d2, original index) winner in ~a tenth of that
+            d2min = jnp.min(d2m, axis=1, keepdims=True)
+            tie = d2m == d2min                       # inf rows: all True,
+            idx = jnp.min(jnp.where(tie, ordm, shadow),  # ordm == shadow
+                          axis=1, keepdims=True)
+            if with_rel:
+                posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
+                pos = jnp.min(jnp.where(tie & (ordm == idx), posrow,
+                                        ms - 1), axis=1, keepdims=True)
+            else:
+                pos = jnp.zeros_like(idx)
+        else:
+            posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
+            _, idx, pos = jax.lax.sort((d2m, ordm, posrow), num_keys=2)
+            idx = idx[:, :max_neighbors]
+            pos = pos[:, :max_neighbors]
         found = idx < shadow
         if with_rel:
             # coordinates via [N*K] 12-byte ROW gathers of the sorted

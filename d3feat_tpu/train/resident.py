@@ -134,6 +134,13 @@ def run_resident_training(
                     log_f.write(note + '\n'); log_f.flush()
                     for x in jax.tree.leaves(resident):
                         x.delete()       # free HBM BEFORE the next upload
+                    # drop the references and collect so any host-side
+                    # buffers the backend client retains for the old
+                    # upload are reclaimed before the new one allocates
+                    # (incident 5, RESULTS.md: 122 GB host RSS)
+                    resident = None
+                    import gc
+                    gc.collect()
                 shard_idx = want
                 cache = shards[shard_idx]
                 resident = _upload(cache, mesh)

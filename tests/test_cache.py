@@ -154,6 +154,25 @@ def test_split_shards_equal_sizes_cover_pool(rng):
     assert cache.split_shards(1, np.random.default_rng(0)) == [cache]
 
 
+def test_stacked_pyramids_memoized(rng):
+    """Shard rotation re-uploads the SAME host buffers: rebuilding the
+    multi-GB stack per rotation leaked ~1 shard-size of host memory per
+    cycle via buffers the backend client retains (incident 5,
+    RESULTS.md — the r3 run was OOM-killed by the host kernel)."""
+    cfg = tiny_cfg(augment_noise=0.0)
+    anc, pos, corr = synthetic_pair(rng)
+    cache = PairPyramidCache(cfg)
+    cache.add_pair(anc, pos, corr)
+    first = cache.stacked_pyramids()
+    assert cache.stacked_pyramids() is first
+    # mutation invalidates the memo
+    cache.add_pair(anc, pos, corr)
+    second = cache.stacked_pyramids()
+    assert second is not first
+    cache.pad_to_multiple(4, np.random.default_rng(0))
+    assert cache.stacked_pyramids() is not second
+
+
 @pytest.mark.slow
 def test_resident_pool_rotation_end_to_end(rng, tmp_path):
     """run_resident_training with 2 shards rotates through HBM (upload,
