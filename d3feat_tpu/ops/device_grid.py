@@ -244,16 +244,21 @@ def build_cell_table(
     pos = jnp.clip(pos, 0, m - 1)
     # candidate coordinates, coordinate-blocked flat [C, 3*cap] (see the
     # CellTable field doc), plus the ORIGINAL index riding the same row
-    # as a bitcast 4th lane: the table materialization is gather-rate
-    # bound (~250M rows/s), and a separate order[pos] element gather was
-    # a second full pass at the same rate — one [M, 4]-row gather does
-    # both (measured: L0 table build 86 -> ~55 ms @ 100k).  The [cc,
-    # cap, 4] row-gather result exists only per lax.map chunk, so its
-    # lane-padded form stays transient; invalid slots get a far-away
-    # coordinate so d2 can never pass.
+    # as a 4th f32 lane: the table materialization is gather-rate bound
+    # (~250M rows/s), and a separate order[pos] element gather was a
+    # second full pass at the same rate — one [M, 4]-row gather does
+    # both (measured: L0 table build 86 -> 22 ms @ 100k).  The index
+    # lane is a VALUE cast, NOT a bitcast: int32 bit patterns below
+    # ~2^23 are f32 DENORMALS, and TPU data paths flush denormals to
+    # zero (measured: every cand_ord became 0 on TPU while the CPU
+    # golden tests stayed green).  Indices < 2^24 are exact in f32, and
+    # capacities here are far below that.  The [cc, cap, 4] row-gather
+    # result exists only per lax.map chunk, so its lane-padded form
+    # stays transient; invalid slots get a far-away coordinate so d2
+    # can never pass.
+    assert m < (1 << 24), 'index lane rides f32 exactly only below 2^24'
     sxyzo = jnp.concatenate(
-        [sxyz, jax.lax.bitcast_convert_type(order, jnp.float32)[:, None]],
-        axis=1)
+        [sxyz, order.astype(jnp.float32)[:, None]], axis=1)
 
     def _flat_chunk(args):
         p, v = args
@@ -261,7 +266,7 @@ def build_cell_table(
         xyz = jnp.where(v[..., None], g[..., :3], 2 * _PAD_POS)
         flat = jnp.concatenate([xyz[..., 0], xyz[..., 1], xyz[..., 2]],
                                axis=1)
-        o = jax.lax.bitcast_convert_type(g[..., 3], jnp.int32)
+        o = g[..., 3].astype(jnp.int32)
         return flat, jnp.where(v, o, m)
 
     c_chunk = 2048
