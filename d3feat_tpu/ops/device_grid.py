@@ -351,6 +351,20 @@ def radius_search(
         # truncation the row is already ascending with shadow pads last.
         d2m = jnp.where(good, d2, jnp.inf)
         ordm = jnp.where(good, table.cand_ord[rk], shadow)
+        if with_rel:
+            # quantize the rel vectors from the ALREADY-GATHERED
+            # candidate diffs and let the selection carry them, instead
+            # of re-gathering sorted_xyz[pos] after the cut ([N*K] rows
+            # = 3.6M at L0: ~12 ms; two extra int32 sort operands are
+            # far cheaper).  Same bytes minus the same query -> the
+            # quantized values are bit-identical to the re-gather form.
+            s = 32767.0 / radius
+            dxq = jnp.clip(jnp.rint(dx * s), -32767, 32767).astype(
+                jnp.int32)
+            dyq = jnp.clip(jnp.rint(dy * s), -32767, 32767).astype(
+                jnp.int32)
+            dzq = jnp.clip(jnp.rint(dz * s), -32767, 32767).astype(
+                jnp.int32)
         if max_neighbors == 1:
             # K == 1 (the upsample search): a full cand_cap-wide
             # 3-operand sort for a single nearest neighbor measured
@@ -361,25 +375,26 @@ def radius_search(
             idx = jnp.min(jnp.where(tie, ordm, shadow),  # ordm == shadow
                           axis=1, keepdims=True)
             if with_rel:
-                posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
-                pos = jnp.min(jnp.where(tie & (ordm == idx), posrow,
-                                        ms - 1), axis=1, keepdims=True)
-            else:
-                pos = jnp.zeros_like(idx)
+                # ord values are unique per support, so exactly one slot
+                # matches (tie & ordm == idx); a masked min extracts it
+                sel = tie & (ordm == idx)
+                rel3 = [jnp.min(jnp.where(sel, dq, 32767), axis=1,
+                                keepdims=True) for dq in (dxq, dyq, dzq)]
+                rel = jnp.stack(rel3, axis=-1)
         else:
-            posrow = jnp.broadcast_to(table.cand_pos[rk], d2.shape)
-            _, idx, pos = jax.lax.sort((d2m, ordm, posrow), num_keys=2)
-            idx = idx[:, :max_neighbors]
-            pos = pos[:, :max_neighbors]
+            if with_rel:
+                _, idx, rx, ry, rz = jax.lax.sort(
+                    (d2m, ordm, dxq, dyq, dzq), num_keys=2)
+                k = max_neighbors
+                rel = jnp.stack([rx[:, :k], ry[:, :k], rz[:, :k]],
+                                axis=-1)
+                idx = idx[:, :k]
+            else:
+                _, idx = jax.lax.sort((d2m, ordm), num_keys=2)
+                idx = idx[:, :max_neighbors]
         found = idx < shadow
         if with_rel:
-            # coordinates via [N*K] 12-byte ROW gathers of the sorted
-            # support table — ~3x cheaper than take_along_axis over the
-            # [N, cand_cap, 3] block (element gathers)
-            sel_xyz = table.sorted_xyz[pos]
-            diff = (sel_xyz - q_xyz[:, None, :]) * (32767.0 / radius)
-            diff = jnp.clip(jnp.rint(diff), -32767, 32767)
-            rel = jnp.where(found[..., None], diff.astype(jnp.int16),
+            rel = jnp.where(found[..., None], rel.astype(jnp.int16),
                             np.int16(32767))
         else:
             rel = jnp.zeros((q_xyz.shape[0], max_neighbors, 3), jnp.int16)
