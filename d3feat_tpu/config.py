@@ -146,6 +146,16 @@ class Config:
     # host- and device-pyramid paths (VALIDATION.md round 2); an f32 head
     # removes that at ~+3 ms for the 3.6M-row head gather.
     score_dtype: str = 'compute'
+    # Floor on the per-cloud scalar max that normalizes decoder features
+    # in the detection head (`models/D3Feat.py:84-90`): the reference's
+    # `f / (cloud_max + 1e-6)` explodes in value AND gradient (the
+    # backward carries ~1/cloud_max^2) on batches whose per-cloud feature
+    # max is tiny — the root cause of the heavy det-loss gradient tail
+    # that kept the round-3 global clip active on ~70% of steps
+    # (RESULTS.md r3b). 0 = exact reference semantics; the floor only
+    # binds on degenerate batches, never on a healthily trained network
+    # whose feature maxima sit well above it.
+    score_norm_floor: float = 0.0
 
     # ---- training ----------------------------------------------------------
     max_epoch: int = 200

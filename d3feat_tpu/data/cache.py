@@ -67,19 +67,29 @@ class PairPyramidCache:
     def __len__(self) -> int:
         return len(self._pairs)
 
+    def _set_pairs(self, pairs: List[Dict]) -> None:
+        """Replace the pair list and invalidate the stacked memo — every
+        mutation of `_pairs` must go through here or `_append_record` so a
+        later `stacked_pyramids()` can never return a stale stack."""
+        self._pairs = pairs
+        self._stacked = None
+
+    def _append_record(self, rec: Dict) -> None:
+        self._pairs.append(rec)
+        self._stacked = None
+
     def add_pair(self, anc_points: np.ndarray, pos_points: np.ndarray,
                  correspondences: np.ndarray) -> None:
         """Build and cache the unaugmented padded batch for one pair."""
         base = make_training_batch(anc_points, pos_points,
                                    np.zeros((0, 2), np.int64),
                                    self.config, augment=False)
-        self._pairs.append({
+        self._append_record({
             'pyramid': base['pyramid'],
             'anc_points': np.asarray(anc_points, np.float32),
             'n_anc': len(anc_points),
             'corr': np.asarray(correspondences, np.int64),
         })
-        self._stacked = None
 
     def sample_batch(self, rng: np.random.Generator,
                      augment: bool = True) -> Dict:
@@ -150,7 +160,7 @@ class PairPyramidCache:
                 pad = rng.choice(len(self._pairs), size - len(idx))
                 idx.extend(int(p) for p in pad)
             shard = PairPyramidCache(self.config)
-            shard._pairs = [self._pairs[int(j)] for j in idx]
+            shard._set_pairs([self._pairs[int(j)] for j in idx])
             shards.append(shard)
         return shards
 
@@ -159,9 +169,7 @@ class PairPyramidCache:
         resident mode needs the pair axis divisible by the device count)."""
         extra = (-len(self._pairs)) % d
         for j in rng.choice(len(self._pairs), extra):
-            self._pairs.append(self._pairs[int(j)])
-        if extra:
-            self._stacked = None
+            self._append_record(self._pairs[int(j)])
 
     # -- device-resident mode (tunneled TPUs) --------------------------------
     def stacked_pyramids(self) -> Dict:
@@ -311,7 +319,7 @@ def build_cache_for_keys(dataset, split: str, config: Config,
                 raise ValueError(
                     f'first assigned pair {key} unbuildable — cannot '
                     f'substitute; raise max_points or fix the assignment')
-            cache._pairs.append(cache._pairs[-1])
+            cache._append_record(cache._pairs[-1])
     return cache
 
 

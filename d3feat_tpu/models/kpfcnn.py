@@ -168,7 +168,8 @@ class KPFCNN(nn.Module):
             pyramid['masks'][0], head_features,
             num_clouds=pyramid['lengths'][0].shape[0],
             gather_dtype=gather_dtype, inv=inv0,
-            lengths=pyramid['lengths'][0])
+            lengths=pyramid['lengths'][0],
+            norm_floor=cfg.score_norm_floor)
         return descriptors, scores
 
     def _encoder_block(self, block, ctx, features, layer, fdim,
@@ -220,7 +221,8 @@ class KPFCNN(nn.Module):
 def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      mask0: jax.Array, features: jax.Array,
                      num_clouds: int, gather_dtype=jnp.float32,
-                     inv=None, lengths=None) -> jax.Array:
+                     inv=None, lengths=None,
+                     norm_floor: float = 0.0) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -231,6 +233,11 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
       num_clouds: static B.
       lengths: optional [B] per-cloud valid counts — enables the exact
         reference clamp semantics (see below).
+      norm_floor: floor on the per-cloud scalar max (config
+        `score_norm_floor`). The reference normalizer `f/(cloud_max+1e-6)`
+        explodes (value and ~1/cloud_max^2 gradient) when a cloud's
+        feature max is tiny; flooring it bounds the det-loss gradient
+        tail while leaving healthy batches untouched. 0 = reference.
 
     Returns [N0, 1] scores (pad rows 0).
     """
@@ -255,6 +262,8 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
         cloud_max = cloud_max.at[:num_clouds].set(clamped)
     else:
         cloud_max = jnp.maximum(cloud_max, 0.0)
+    if norm_floor > 0.0:
+        cloud_max = jnp.maximum(cloud_max, norm_floor)
     per_row_max = cloud_max[jnp.minimum(cloud_inds, num_clouds)]
     f = features / (per_row_max[:, None] + 1e-6)
     f = jnp.where(mask0[:, None], f, 0.0)

@@ -256,7 +256,10 @@ def build_cell_table(
     # result exists only per lax.map chunk, so its lane-padded form
     # stays transient; invalid slots get a far-away coordinate so d2
     # can never pass.
-    assert m < (1 << 24), 'index lane rides f32 exactly only below 2^24'
+    if m >= (1 << 24):   # static trace-time check; assert would vanish
+        raise ValueError(  # under python -O and silently corrupt indices
+            f'support capacity {m} >= 2^24: the index lane rides an f32 '
+            f'gather lane as a VALUE cast, exact only below 2^24')
     sxyzo = jnp.concatenate(
         [sxyz, order.astype(jnp.float32)[:, None]], axis=1)
 

@@ -52,8 +52,15 @@ def evaluate(log_dir, data, n, max_pairs, device_pyramid, num_keypts):
             cmd += ['--max-pairs', str(max_pairs)]
         if device_pyramid:
             cmd.append('--device-pyramid')
-        res = subprocess.run(cmd, capture_output=True, text=True,
-                             timeout=7200)
+        try:
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=7200)
+        except subprocess.TimeoutExpired:
+            # record the failure instead of killing the watcher loop —
+            # later snapshots must still get evaluated
+            return {'snap': n, 'success': None, 'n_pairs': None,
+                    'rte_succ': None, 'rre_succ': None,
+                    'ok': False, 'err': 'timeout after 7200 s'}
     rec = {'snap': n, 'success': None, 'n_pairs': None,
            'rte_succ': None, 'rre_succ': None,
            'ok': res.returncode == 0,

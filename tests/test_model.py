@@ -185,6 +185,44 @@ def test_detection_scores_largest_cloud_unclamped(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_score_norm_floor(rng):
+    """`score_norm_floor` bounds the det-head gradient tail on tiny-max
+    batches (the round-3 70%-clip root cause) without touching healthy
+    batches (config-gated; 0 = exact reference semantics)."""
+    n_a, n_b, k, d = 30, 25, 6, 8
+    n = n_a + n_b
+    neigh = rng.integers(0, n, (n, k)).astype(np.int32)
+    cloud_inds = np.concatenate([np.zeros(n_a, np.int32),
+                                 np.ones(n_b, np.int32)])
+    mask = np.ones(n, bool)
+
+    def grad_norm(feats, floor):
+        def f(x):
+            s = detection_scores(jnp.asarray(neigh),
+                                 jnp.asarray(cloud_inds),
+                                 jnp.asarray(mask), x, num_clouds=2,
+                                 norm_floor=floor)
+            return jnp.sum(s)
+        g = jax.grad(f)(jnp.asarray(feats))
+        return float(jnp.linalg.norm(g))
+
+    # degenerate batch: per-cloud feature max ~1e-4 (the explosive regime)
+    tiny = (rng.standard_normal((n, d)).astype(np.float32) * 1e-4)
+    g_ref = grad_norm(tiny, 0.0)
+    g_floor = grad_norm(tiny, 0.1)
+    assert g_floor < g_ref / 50, (g_ref, g_floor)
+
+    # healthy batch: max well above the floor -> floor is a no-op
+    healthy = rng.standard_normal((n, d)).astype(np.float32) + 1.0
+    s_ref = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                             jnp.asarray(mask), jnp.asarray(healthy),
+                             num_clouds=2, norm_floor=0.0)
+    s_floor = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                               jnp.asarray(mask), jnp.asarray(healthy),
+                               num_clouds=2, norm_floor=0.1)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_floor))
+
+
 def test_param_count_flagship():
     """Flagship config has the reference's ~14M params (SURVEY.md §2.9)."""
     cfg = threedmatch_config(max_points=2048, size_multiple=64,
