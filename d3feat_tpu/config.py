@@ -156,6 +156,18 @@ class Config:
     # binds on degenerate batches, never on a healthily trained network
     # whose feature maxima sit well above it.
     score_norm_floor: float = 0.0
+    # Floor on the per-ROW channel max in the detection head's beta ratio
+    # (`models/D3Feat.py:100-102`): the reference's `f/(1e-6+depth_max)`
+    # divides by a per-row channel max that can sit arbitrarily close to
+    # zero — or be NEGATIVE (all channels of a row negative), flipping the
+    # denominator sign through ~0. Measured at snap-21 (round 4 lr=0
+    # probe): with score_norm_floor alone the raw grad-norm tail persists
+    # at p99 ~7e3, log-correlated 0.62 with |det_loss|, driven by rows
+    # with tiny/negative depth_max. Since f is normalized to max 1 per
+    # cloud, rows with depth_max below ~1% of the cloud max are
+    # non-keypoints; flooring their denominator damps instead of
+    # amplifies them. 0 = exact reference semantics.
+    score_beta_floor: float = 0.0
 
     # ---- training ----------------------------------------------------------
     max_epoch: int = 200

@@ -169,7 +169,8 @@ class KPFCNN(nn.Module):
             num_clouds=pyramid['lengths'][0].shape[0],
             gather_dtype=gather_dtype, inv=inv0,
             lengths=pyramid['lengths'][0],
-            norm_floor=cfg.score_norm_floor)
+            norm_floor=cfg.score_norm_floor,
+            beta_floor=cfg.score_beta_floor)
         return descriptors, scores
 
     def _encoder_block(self, block, ctx, features, layer, fdim,
@@ -222,7 +223,8 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      mask0: jax.Array, features: jax.Array,
                      num_clouds: int, gather_dtype=jnp.float32,
                      inv=None, lengths=None,
-                     norm_floor: float = 0.0) -> jax.Array:
+                     norm_floor: float = 0.0,
+                     beta_floor: float = 0.0) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -238,6 +240,10 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
         explodes (value and ~1/cloud_max^2 gradient) when a cloud's
         feature max is tiny; flooring it bounds the det-loss gradient
         tail while leaving healthy batches untouched. 0 = reference.
+      beta_floor: floor on the per-row channel max in the beta ratio
+        (config `score_beta_floor`) — the second pole of the reference
+        head: `f/(1e-6+depth_max)` with depth_max near/below zero
+        (see the beta comment below). 0 = reference.
 
     Returns [N0, 1] scores (pad rows 0).
     """
@@ -298,8 +304,13 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     mean_f = neigh_sum[:, :d] / neigh_num
     alpha = jax.nn.softplus(f - mean_f)
 
-    # channel-max ratio beta (D3Feat.py:100-102)
+    # channel-max ratio beta (D3Feat.py:100-102). The denominator is a
+    # per-row channel max that can approach (or cross) zero on weak rows;
+    # `beta_floor` > 0 bounds it away from the pole (config
+    # `score_beta_floor` — gradient-tail mitigation, 0 = reference).
     depth_max = jnp.max(f, axis=1, keepdims=True)
+    if beta_floor > 0.0:
+        depth_max = jnp.maximum(depth_max, beta_floor)
     beta = f / (1e-6 + depth_max)
 
     score = jnp.max(alpha * beta, axis=1, keepdims=True)

@@ -41,6 +41,26 @@ def main():
     ap.add_argument('--score-dtype', default=None,
                     choices=['compute', 'float32'],
                     help='detection-head precision (config.score_dtype)')
+    ap.add_argument('--score-norm-floor', type=float, default=None,
+                    help='floor on the det-head per-cloud max normalizer '
+                         '(config.score_norm_floor; 0 = exact reference '
+                         'semantics — healthy trained cloud_max is ~50-110 '
+                         'so 5.0 never binds on healthy batches while '
+                         'bounding the degenerate-batch gradient tail)')
+    ap.add_argument('--score-beta-floor', type=float, default=None,
+                    help='floor on the det-head per-row channel max '
+                         '(config.score_beta_floor; bounds the second '
+                         'gradient pole — rows whose channel max sits '
+                         'near/below zero; 0.01 damps sub-1%%-of-cloud-max '
+                         'rows instead of amplifying them)')
+    ap.add_argument('--keypts-num', type=int, default=None,
+                    help='correspondences sampled per pair (config.'
+                         'keypts_num; detector-placement lever)')
+    ap.add_argument('--det-loss-weight', type=float, default=None,
+                    help='detector loss weight (config.det_loss_weight)')
+    ap.add_argument('--safe-radius', type=float, default=None,
+                    help='false-negative mask radius in m (config.'
+                         'safe_radius)')
     ap.add_argument('--max-points', type=int, default=None,
                     help='override the stacked-pair point capacity')
     ap.add_argument('--fdim', type=int, default=None,
@@ -106,6 +126,16 @@ def main():
         cfg = cfg.replace(grad_global_clip=args.grad_global_clip)
     if args.score_dtype is not None:
         cfg = cfg.replace(score_dtype=args.score_dtype)
+    if args.score_norm_floor is not None:
+        cfg = cfg.replace(score_norm_floor=args.score_norm_floor)
+    if args.score_beta_floor is not None:
+        cfg = cfg.replace(score_beta_floor=args.score_beta_floor)
+    if args.keypts_num is not None:
+        cfg = cfg.replace(keypts_num=args.keypts_num)
+    if args.det_loss_weight is not None:
+        cfg = cfg.replace(det_loss_weight=args.det_loss_weight)
+    if args.safe_radius is not None:
+        cfg = cfg.replace(safe_radius=args.safe_radius)
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)

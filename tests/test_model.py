@@ -223,6 +223,46 @@ def test_score_norm_floor(rng):
     np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_floor))
 
 
+def test_score_beta_floor(rng):
+    """`score_beta_floor` bounds the det-head's SECOND gradient pole —
+    the per-row channel max `depth_max` sitting near/below zero in
+    `beta = f/(1e-6+depth_max)` (models/D3Feat.py:100-102). Rows whose
+    channel max clears the floor are bit-identical (0 = reference)."""
+    n, k, d = 40, 6, 8
+    neigh = rng.integers(0, n, (n, k)).astype(np.int32)
+    cloud_inds = np.zeros(n, np.int32)
+    mask = np.ones(n, bool)
+
+    def grad_norm(feats, floor):
+        def f(x):
+            s = detection_scores(jnp.asarray(neigh),
+                                 jnp.asarray(cloud_inds),
+                                 jnp.asarray(mask), x, num_clouds=1,
+                                 beta_floor=floor)
+            return jnp.sum(s)
+        g = jax.grad(f)(jnp.asarray(feats))
+        return float(jnp.linalg.norm(g))
+
+    # adversarial rows: channel max just below zero -> the denominator
+    # 1e-6 + depth_max crosses ~0 (the explosive pole)
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    feats[5] = -np.abs(feats[5]) * 1e-5 - 2e-6
+    feats[17] = -np.abs(feats[17]) * 1e-5 - 2e-6
+    g_ref = grad_norm(feats, 0.0)
+    g_floor = grad_norm(feats, 0.01)
+    assert g_floor < g_ref / 50, (g_ref, g_floor)
+
+    # healthy rows: every row's channel max clears the floor -> no-op
+    healthy = np.abs(rng.standard_normal((n, d)).astype(np.float32)) + 0.5
+    s_ref = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                             jnp.asarray(mask), jnp.asarray(healthy),
+                             num_clouds=1, beta_floor=0.0)
+    s_floor = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                               jnp.asarray(mask), jnp.asarray(healthy),
+                               num_clouds=1, beta_floor=0.01)
+    np.testing.assert_array_equal(np.asarray(s_ref), np.asarray(s_floor))
+
+
 def test_param_count_flagship():
     """Flagship config has the reference's ~14M params (SURVEY.md §2.9)."""
     cfg = threedmatch_config(max_points=2048, size_multiple=64,
