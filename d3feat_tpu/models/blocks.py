@@ -40,8 +40,8 @@ import numpy as np
 
 from d3feat_tpu.config import Config
 from d3feat_tpu.ops.kpconv import (closest_pool, deform_influence_weights,
-                                   deform_sq_distances, index_max_pool,
-                                   influence_weights,
+                                   deform_sq_distances, f32_exact_precision,
+                                   index_max_pool, influence_weights,
                                    influence_weights_from_rel, kpconv,
                                    kpconv_apply, kpconv_ones, lane_pad_table,
                                    unary_conv)
@@ -382,9 +382,13 @@ class DeformableKPConvOp(nn.Module):
                                  dtype=features.dtype)], axis=0)
         neigh_feats = feats_ext[inds]
         weighted = jnp.einsum('npk,nkc->npc', weights, neigh_feats,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=f32_exact_precision(
+                                  weights, neigh_feats))
         out = jnp.einsum('npc,pco->no', weighted, w,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=f32_exact_precision(
+                             weighted, w))
         # NO density normalization (`convolution_ops.py:495-507`).
 
         self._sow_offset_loss(ctx, deformed_kp, sq_dist, out_mask, extent)

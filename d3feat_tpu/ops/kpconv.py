@@ -36,9 +36,27 @@ import jax
 import jax.numpy as jnp
 
 
+def f32_exact_precision(*operands) -> jax.lax.Precision | None:
+    """HIGHEST iff every operand is f32, else None (backend default).
+
+    TPU MXUs execute f32 contractions at DEFAULT precision by rounding the
+    inputs to bf16 (one pass) — the rounding pattern depends on XLA's
+    tiling/fusion choices, so the "f32" forward produced ~2e-2-relative
+    discrepancies BETWEEN PROGRAM SHAPES (single- vs multi-fragment
+    extraction compiled at different capacities) while CPU goldens stayed
+    bit-green. Forcing HIGHEST on f32 operands makes compute_dtype=
+    'float32' genuinely f32 on-chip (the bit-faithfulness invariant the
+    golden tests assert on CPU) at the documented f32-path cost; bf16
+    operands keep the native single-pass MXU path (None == DEFAULT)."""
+    if all(o.dtype == jnp.float32 for o in operands):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def unary_conv(features: jax.Array, weights: jax.Array) -> jax.Array:
     """1x1 convolution = matmul (`kernels/convolution_ops.py:90-99`)."""
-    return jnp.dot(features, weights, preferred_element_type=jnp.float32)
+    return jnp.dot(features, weights, preferred_element_type=jnp.float32,
+                   precision=f32_exact_precision(features, weights))
 
 
 @partial(jax.jit, static_argnames=('kp_influence', 'aggregation_mode'))
@@ -104,9 +122,13 @@ def kpconv(
 
     # [Nq, P, C] then [Nq, C_out] — both land on the MXU.
     weighted = jnp.einsum('nkp,nkc->npc', weights, neigh_feats,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=f32_exact_precision(weights,
+                                                        neigh_feats))
     out = jnp.einsum('npc,pco->no', weighted, kernel_weights,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=f32_exact_precision(weighted,
+                                                   kernel_weights))
 
     # Density normalization (convolution_ops.py:249-253): count neighbors
     # with strictly positive feature-sum.
@@ -310,11 +332,13 @@ def kpconv_apply(
     # — bit-identical to the old f32-materialize-then-cast, at half the
     # [Nq, P, L] HBM traffic (~822 MB -> 411 MB at 100k points, L0).
     wf = jnp.einsum('npk,nkl->npl', weights, nf,
-                    preferred_element_type=weights.dtype)
+                    preferred_element_type=weights.dtype,
+                    precision=f32_exact_precision(weights, nf))
     kw = jnp.zeros((p, l, c_out), dtype=weights.dtype)
     kw = kw.at[:, :c_in, :].set(kernel_weights.astype(weights.dtype))
     out = jnp.einsum('npl,plo->no', wf.astype(weights.dtype), kw,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=f32_exact_precision(wf, kw))
     # density normalization: count neighbors with positive channel sum.
     # lane_pad_table can store the row channel-sum in a spare lane (free
     # with this gather); otherwise reduce the gathered lanes.
@@ -338,9 +362,11 @@ def kpconv_ones(
     reduces to the validity mask, eliminating the [N, K, C] gather."""
     valid = (neighbor_inds < n_supports).astype(weights.dtype)  # [Nq, K]
     wsum = jnp.einsum('npk,nk->np', weights, valid,
-                      preferred_element_type=jnp.float32)       # [Nq, P]
+                      preferred_element_type=jnp.float32,       # [Nq, P]
+                      precision=f32_exact_precision(weights, valid))
     out = jnp.dot(wsum, kernel_weights[:, 0, :],
-                  preferred_element_type=jnp.float32)
+                  preferred_element_type=jnp.float32,
+                  precision=f32_exact_precision(wsum, kernel_weights))
     neighbor_num = jnp.maximum(
         jnp.sum(valid.astype(jnp.float32), axis=-1), 1.0)
     return out / neighbor_num[:, None]
@@ -490,6 +516,10 @@ def kpconv_deform(
                              dtype=features.dtype)], axis=0)
     neigh_feats = feats_ext[neighbor_inds]                     # [Nq, K, C]
     weighted = jnp.einsum('npk,nkc->npc', weights, neigh_feats,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=f32_exact_precision(weights,
+                                                        neigh_feats))
     return jnp.einsum('npc,pco->no', weighted, kernel_weights,
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32,
+                      precision=f32_exact_precision(weighted,
+                                                    kernel_weights))
