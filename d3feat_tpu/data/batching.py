@@ -96,3 +96,19 @@ def make_test_batch(points: np.ndarray, config: Config) -> Dict:
     `datasets/ThreeDMatch.py:326-368`); here a single cloud suffices."""
     points = points.astype(np.float32)
     return {'pyramid': build_pyramid(points, [len(points)], config)}
+
+
+def make_test_batch_multi(points_list, config: Config) -> Dict:
+    """Inference input for SEVERAL fragments in one dispatch: the clouds
+    stack along the point axis as B independent segments (the same
+    machinery training uses for its anchor+positive pair), so one XLA call
+    extracts descriptors for the whole group — amortizing the per-dispatch
+    tunnel round trips that dominate single-fragment extraction on
+    remote TPUs (the reference extracts one fragment per session.run,
+    `utils/tester.py:177-233`).  `config.max_points` must cover the sum of
+    cloud sizes.  Per-fragment outputs live at cumulative-length offsets
+    of the level-0 rows."""
+    pts = [np.asarray(p, np.float32) for p in points_list]
+    stacked = np.concatenate(pts, axis=0)
+    return {'pyramid': build_pyramid(stacked, [len(p) for p in pts],
+                                     config)}

@@ -126,6 +126,103 @@ class DescriptorExtractor:
                 return desc, score
         return None                       # caller falls back to host build
 
+    def _forward_multi(self, cap: int, b: int):
+        key = ('multi', cap, b)
+        if key not in self._fns:
+            cfg = self.config.replace(max_points=cap * b)
+            model = KPFCNN(cfg)
+
+            @jax.jit
+            def fwd(variables, pyramid):
+                return model.apply(variables, pyramid, training=False)
+
+            self._fns[key] = (cfg, fwd)
+        return self._fns[key]
+
+    def extract_many(self, points_list, batch: int = 4):
+        """Batched dense extraction: groups same-bucket fragments and runs
+        `batch` of them per XLA dispatch (host-pyramid path: one B-cloud
+        program via `make_test_batch_multi`; device-pyramid path: B
+        pipelined dispatches with the results stacked on device and
+        fetched once).  On tunneled TPUs the per-fragment wall time is
+        dominated by dispatch+fetch round trips (~8 s vs ~150 ms of
+        compute at 100k points), so batching B fragments cuts eval-dump
+        wall clock ~Bx.  Returns [(desc, score)] aligned with the input
+        order; numerically identical to per-fragment `extract` in f32
+        (each cloud is an independent segment end-to-end).
+        """
+        out = [None] * len(points_list)
+        if batch <= 1:
+            return [self.extract(p) for p in points_list]
+        groups: Dict[int, list] = {}
+        for i, p in enumerate(points_list):
+            groups.setdefault(
+                _bucket(len(p), self.config.size_multiple), []).append(i)
+        for cap, idxs in groups.items():
+            for c0 in range(0, len(idxs), batch):
+                chunk = idxs[c0:c0 + batch]
+                if self.device_pyramid:
+                    self._extract_chunk_device(points_list, chunk, cap, out)
+                else:
+                    self._extract_chunk_host(points_list, chunk, cap,
+                                             batch, out)
+        return out
+
+    def _extract_chunk_host(self, points_list, chunk, cap, batch, out):
+        """One B-cloud dispatch on the host-pyramid path.  Short tail
+        chunks are padded by repeating the last fragment (static shapes:
+        one compile per (cap, B), not per remainder)."""
+        from d3feat_tpu.data.batching import make_test_batch_multi
+        pts = [points_list[i] for i in chunk]
+        while len(pts) < batch:
+            pts.append(pts[-1])
+        cfg, fwd = self._forward_multi(cap, batch)
+        try:
+            b = make_test_batch_multi(pts, cfg)
+        except ValueError:
+            # coarse-level overflow in the tight-ratio program: fall back
+            # to per-fragment extraction (which has its own safe retry)
+            for i in chunk:
+                out[i] = self.extract(points_list[i])
+            return
+        t0 = time.perf_counter()
+        desc, score = fwd(self.variables, b['pyramid'])
+        desc = np.asarray(jax.device_get(desc))
+        score = np.asarray(jax.device_get(score))
+        self.timer.append(time.perf_counter() - t0)
+        off = 0
+        for j, i in enumerate(chunk):
+            n = len(points_list[i])
+            out[i] = (desc[off:off + n], score[off:off + n, 0])
+            off += len(pts[j])
+
+    def _extract_chunk_device(self, points_list, chunk, cap, out):
+        """Device-pyramid path: pipeline the chunk's single-cloud
+        dispatches (async), stack results on device, fetch once — the
+        per-fragment fetch round trips collapse into three per chunk."""
+        import jax.numpy as jnp
+        fwd = self._device_fn(cap, 0)
+        handles = []
+        t0 = time.perf_counter()
+        for i in chunk:
+            pts = points_list[i]
+            padded = np.full((cap, 3), 1e6, np.float32)
+            padded[:len(pts)] = pts
+            handles.append(fwd(self.variables, padded, np.int32(len(pts))))
+        oks = np.asarray(jax.device_get(jnp.stack([h[2] for h in handles])))
+        descs = np.asarray(jax.device_get(jnp.stack(
+            [h[0] for h in handles])))
+        scores = np.asarray(jax.device_get(jnp.stack(
+            [h[1] for h in handles])))
+        self.timer.append(time.perf_counter() - t0)
+        for j, i in enumerate(chunk):
+            n = len(points_list[i])
+            if oks[j]:
+                out[i] = (descs[j, :n], scores[j, :n, 0])
+            else:
+                # rare static-capacity overflow: per-fragment retry ladder
+                out[i] = self.extract(points_list[i])
+
     def extract(self, points: np.ndarray
                 ) -> Tuple[np.ndarray, np.ndarray]:
         """points [N,3] -> (descriptors [N,32], scores [N])."""
@@ -185,13 +282,25 @@ def generate_descriptors(
     fragments: Iterable[Tuple[str, int, np.ndarray]],
     out_root: str,
     experiment: str,
+    batch_frags: int = 1,
 ) -> str:
     """Run dense extraction over (scene, frag_id, points) fragments and dump
-    the reference layout. Returns the experiment directory."""
+    the reference layout. Returns the experiment directory.
+
+    ``batch_frags`` > 1 extracts that many same-bucket fragments per XLA
+    dispatch (`DescriptorExtractor.extract_many`) — same numbers, ~Bx less
+    tunnel round-trip wall clock."""
     base, dirs = _experiment_dirs(out_root, experiment)
-    for scene, frag_id, points in fragments:
-        desc, score = extractor.extract(points)
-        dump_fragment(dirs, scene, frag_id, points, desc, score)
+    if batch_frags > 1:
+        frags = list(fragments)
+        results = extractor.extract_many([f[2] for f in frags],
+                                         batch=batch_frags)
+        for (scene, frag_id, points), (desc, score) in zip(frags, results):
+            dump_fragment(dirs, scene, frag_id, points, desc, score)
+    else:
+        for scene, frag_id, points in fragments:
+            desc, score = extractor.extract(points)
+            dump_fragment(dirs, scene, frag_id, points, desc, score)
     if extractor.timer:
         print(f'Average feature extraction time: '
               f'{np.mean(extractor.timer):.3f} s')

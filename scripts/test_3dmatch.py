@@ -58,6 +58,18 @@ def main():
                     help="override config.score_dtype ('float32' runs the "
                          'detection head in f32 on the bf16 fast path — '
                          'stabilizes the top-k keypoint cut)')
+    ap.add_argument('--exact', action='store_true',
+                    help='bit-stable eval mode: all-f32 forward '
+                         '(compute_dtype=float32, implies the f32 head) so '
+                         'host- vs device-pyramid paths and cross-'
+                         'checkpoint comparisons are exactly reproducible. '
+                         'Costs ~+4 ms head + the f32 forward vs bf16 '
+                         '(VALIDATION.md round 3); use for A/B evals, not '
+                         'throughput')
+    ap.add_argument('--batch-frags', type=int, default=1,
+                    help='extract N same-bucket fragments per XLA dispatch '
+                         '(runtime.tester.extract_many): same numbers, '
+                         '~Nx less tunnel round-trip wall clock')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -77,6 +89,8 @@ def main():
         cfg = threedmatch_config()
     if args.score_dtype:
         cfg = cfg.replace(score_dtype=args.score_dtype)
+    if args.exact:
+        cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
 
     scenes = None
     if args.scenes:
@@ -107,7 +121,8 @@ def main():
         extractor = DescriptorExtractor(cfg, variables,
                                         device_pyramid=args.device_pyramid)
         out_dir = generate_descriptors(extractor, dataset.test_fragments(),
-                                       args.out, args.experiment)
+                                       args.out, args.experiment,
+                                       batch_frags=args.batch_frags)
     print(f'dumped descriptors under {out_dir}')
 
     if args.gt:

@@ -35,6 +35,10 @@ def main():
                          'ETH download ships gt.log next to the .ply '
                          'fragments)')
     ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--exact', action='store_true',
+                    help='bit-stable eval: all-f32 forward + f32 head')
+    ap.add_argument('--batch-frags', type=int, default=1,
+                    help='fragments per XLA dispatch (extract_many)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -54,6 +58,9 @@ def main():
         cfg = trained.replace(dataset='ETH', first_subsampling_dl=0.05,
                               KP_extent=2.0)
 
+    if args.exact:
+        cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
+
     dataset = ETHDataset(args.data, 0.0625)
     variables = init_variables(cfg)
     if args.snapshot:
@@ -68,7 +75,8 @@ def main():
     extractor = DescriptorExtractor(cfg, variables,
                                     device_pyramid=args.device_pyramid)
     out_dir = generate_descriptors(extractor, dataset.test_fragments(),
-                                   args.out, args.experiment)
+                                   args.out, args.experiment,
+                                   batch_frags=args.batch_frags)
     print(f'dumped ETH descriptors under {out_dir}')
 
     from d3feat_tpu.eval.eth import evaluate_eth_fmr

@@ -32,6 +32,14 @@ def main():
                     help='5000 random keypoints instead of top-score')
     ap.add_argument('--max-pairs', type=int, default=None)
     ap.add_argument('--cache', default='kitti_test_cache')
+    ap.add_argument('--exact', action='store_true',
+                    help='bit-stable eval: all-f32 forward + f32 head '
+                         '(compute_dtype=float32) for reproducible '
+                         'cross-path/cross-checkpoint comparisons')
+    ap.add_argument('--batch-frags', type=int, default=2,
+                    help='fragments per XLA dispatch (2 = both clouds of '
+                         'a pair in one call; 1 = reference-style '
+                         'per-fragment extraction)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -51,6 +59,8 @@ def main():
         cfg = Config.load(os.path.join(args.snapshot, 'parameters.txt'))
     else:
         cfg = kitti_config()
+    if args.exact:
+        cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
 
     dataset = KITTIDataset(args.data, cfg.first_subsampling_dl)
     variables = init_variables(cfg)
@@ -80,8 +90,11 @@ def main():
             t_est = data['trans']
         else:
             kp, dc = [], []
-            for cloud in (anc, pos):
-                desc, score = extractor.extract(cloud)
+            results = (extractor.extract_many([anc, pos],
+                                              batch=args.batch_frags)
+                       if args.batch_frags > 1
+                       else [extractor.extract(c) for c in (anc, pos)])
+            for cloud, (desc, score) in zip((anc, pos), results):
                 if args.random:
                     sel = rng.choice(len(cloud), min(5000, len(cloud)),
                                      replace=False)

@@ -36,7 +36,7 @@ def snaps_present(log_dir):
 
 
 def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
-             scenes=None):
+             scenes=None, batch_frags=1):
     with tempfile.TemporaryDirectory() as tmp:
         shutil.copytree(os.path.join(log_dir, f'snap-{n}'),
                         os.path.join(tmp, f'snap-{n}'))
@@ -57,6 +57,8 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
             # resident training pool; ONE consistent path for snapshot-
             # to-snapshot comparison (VALIDATION.md bf16 path caveat)
             cmd.append('--device-pyramid')
+        if batch_frags > 1:
+            cmd += ['--batch-frags', str(batch_frags)]
         res = subprocess.run(cmd, capture_output=True, text=True,
                              timeout=3600)
     scene_stats = {}
@@ -85,6 +87,9 @@ def main():
     ap.add_argument('--start', type=int, default=0)
     ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--device-pyramid', action='store_true')
+    ap.add_argument('--batch-frags', type=int, default=1,
+                    help='fragments per XLA dispatch during the dump '
+                         '(amortizes tunnel round trips ~Nx)')
     ap.add_argument('--scenes', default=None,
                     help='scene-list file overriding {data}/test_scenes.'
                          'txt — a subset keeps in-training evals cheap '
@@ -106,7 +111,8 @@ def main():
             t0 = time.time()
             rec = evaluate(args.log_dir, args.data, n, args.num_keypts,
                            device_pyramid=args.device_pyramid,
-                           scenes=args.scenes)
+                           scenes=args.scenes,
+                           batch_frags=args.batch_frags)
             rec['eval_s'] = round(time.time() - t0, 1)
             with open(out_path, 'a') as fh:
                 fh.write(json.dumps(rec) + '\n')

@@ -107,6 +107,36 @@ def test_calibrate_produces_valid_knobs(rng):
 
 
 @pytest.mark.slow
+def test_extract_many_matches_single(rng):
+    """Batched extraction (B same-bucket fragments per dispatch) is
+    numerically identical to per-fragment extract in f32 — each cloud is
+    an independent segment end-to-end (VERDICT r3 #3)."""
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.data.batching import make_test_batch
+    from d3feat_tpu.runtime import DescriptorExtractor
+
+    cfg = threedmatch_config(
+        max_points=512, size_multiple=64, first_features_dim=8,
+        out_features_dim=8, level_capacity_ratio=1.0,
+        level_capacity_ratios=(), neighborhood_limits=(8, 8, 8, 8, 8),
+        compute_dtype='float32', score_dtype='float32')
+    # three fragments in the 512 bucket (one group of 2 + a padded tail
+    # chunk) and one in the 64 bucket (exercises bucket grouping)
+    frags = [(rng.random((300, 3))).astype(np.float32),
+             (rng.random((420, 3)) * 1.2).astype(np.float32),
+             (rng.random((280, 3)) + 0.3).astype(np.float32),
+             (rng.random((50, 3))).astype(np.float32)]
+    batch = make_test_batch(frags[0], cfg)
+    _, variables = init_kpfcnn(cfg, batch['pyramid'])
+    ex = DescriptorExtractor(cfg, variables)
+    singles = [ex.extract(p) for p in frags]
+    batched = ex.extract_many(frags, batch=2)
+    for (d1, s1), (d2, s2) in zip(singles, batched):
+        np.testing.assert_allclose(d2, d1, rtol=2e-5, atol=2e-6)
+        np.testing.assert_allclose(s2, s1, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.slow
 def test_descriptor_dump_layout(tmp_path, rng):
     """generate_descriptors writes the reference tester's exact layout
     (utils/tester.py:177-233), score-ascending."""

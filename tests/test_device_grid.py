@@ -221,6 +221,29 @@ def test_extractor_device_pyramid_matches_host(cloud):
     np.testing.assert_allclose(sd, sh, atol=2e-5)
 
 
+@pytest.mark.slow
+def test_extract_many_device_matches_single(cloud):
+    """Device-pyramid extract_many (pipelined dispatches + stacked fetch)
+    returns bit-identical results to per-fragment extract — same XLA
+    program, only the fetch pattern changes."""
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.runtime import DescriptorExtractor
+    n = cloud.shape[0]
+    cfg = threedmatch_config(compute_dtype='float32')
+    hp = build_pyramid(cloud, [n],
+                       cfg.replace(max_points=-(-n // 1024) * 1024,
+                                   size_multiple=1024))
+    _, variables = init_kpfcnn(cfg.replace(max_points=hp['features']
+                                           .shape[0]), hp)
+    dev = DescriptorExtractor(cfg, variables, device_pyramid=True)
+    frags = [cloud, cloud[: n - 200], cloud[100:]]
+    singles = [dev.extract(p) for p in frags]
+    batched = dev.extract_many(frags, batch=3)
+    for (d1, s1), (d2, s2) in zip(singles, batched):
+        np.testing.assert_array_equal(d2, d1)
+        np.testing.assert_array_equal(s2, s1)
+
+
 def test_device_pyramid_matches_host_kitti_geometry():
     """Outdoor KITTI geometry: 0.30 m voxel, ~100 m extent, ground plane +
     vertical structures (the grid must handle tall z-columns and the
