@@ -46,6 +46,19 @@ from d3feat_tpu.data.augment import random_rotate
 from d3feat_tpu.data.batching import make_training_batch
 
 
+def _tree_leaves(tree):
+    """Flatten a nested dict/tuple/list of arrays without importing jax
+    (cache building runs on hosts that may not want a jax import)."""
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _tree_leaves(tree[k])
+    elif isinstance(tree, (list, tuple)):
+        for x in tree:
+            yield from _tree_leaves(x)
+    else:
+        yield tree
+
+
 class PairPyramidCache:
     """RAM cache of unaugmented training batches with per-step device
     re-augmentation."""
@@ -170,6 +183,16 @@ class PairPyramidCache:
         extra = (-len(self._pairs)) % d
         for j in rng.choice(len(self._pairs), extra):
             self._append_record(self._pairs[int(j)])
+
+    def stacked_nbytes_per_pair(self) -> int:
+        """Bytes one pair contributes to the stacked resident dataset —
+        lets `train.resident` validate an upload plan against the host-pin
+        budget BEFORE building/uploading any multi-GB stack."""
+        if not self._pairs:
+            return 0
+        leaves = [np.asarray(x) for x in
+                  _tree_leaves(self._pairs[0]['pyramid'])]
+        return sum(x.nbytes for x in leaves)
 
     # -- device-resident mode (tunneled TPUs) --------------------------------
     def stacked_pyramids(self) -> Dict:

@@ -31,6 +31,17 @@ from d3feat_tpu.config import Config
 from d3feat_tpu.train.trainer import make_resident_train_step
 from d3feat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 
+# The axon tunnel client pins one full HOST copy of every device_put,
+# forever (RESULTS.md incident 5: a standalone probe measured 4
+# upload+delete+gc cycles of a 0.5 GB array growing RSS by exactly 2 GB).
+# Every resident-pool upload therefore permanently consumes host RAM equal
+# to the shard size; a rotation plan whose total upload volume exceeds
+# what the host can absorb gets the process OOM-killed mid-run (the r3
+# 3DMatch run died at 122 GB RSS after ~5 rotations of an 11.4 GB shard
+# on a 125 GB host).  Budget: host RAM minus the in-RAM pool itself and
+# process overhead — ~90 GB here.  Plans exceeding it hard-fail up front.
+HOST_PIN_UPLOAD_BUDGET_BYTES = int(90e9)
+
 
 def _upload(cache, mesh=None):
     """device_put a shard's stacked pyramids and force completion.
@@ -97,6 +108,23 @@ def run_resident_training(
     if len({len(s) for s in shards}) > 1:
         raise ValueError('resident pool shards must be equal-size '
                          '(one jit compile); use split_shards')
+    epochs_planned = (epochs or cfg.max_epoch)
+    epoch0_planned = int(state.step) // cfg.epoch_steps
+    if hasattr(shards[0], 'stacked_nbytes_per_pair'):
+        shard_bytes = shards[0].stacked_nbytes_per_pair() * len(shards[0])
+        n_up = (1 if len(shards) == 1 else max(
+            1, -(-max(epochs_planned - epoch0_planned, 1)
+                 // max(shard_epochs, 1))))
+        if n_up * shard_bytes > HOST_PIN_UPLOAD_BUDGET_BYTES:
+            raise ValueError(
+                f'resident rotation plan uploads {n_up} shards x '
+                f'{shard_bytes / 1e9:.1f} GB = '
+                f'{n_up * shard_bytes / 1e9:.0f} GB, over the '
+                f'{HOST_PIN_UPLOAD_BUDGET_BYTES / 1e9:.0f} GB host-pin '
+                f'budget (the tunnel client pins one host copy per '
+                f'device_put — RESULTS.md incident 5). Raise '
+                f'--shard-epochs, lower --epochs, or use a single '
+                f'no-rotation shard that fits HBM.')
     shard_idx = -1           # uploaded lazily at the first epoch (shard
     resident = None          # choice keys off the epoch number on resume)
 

@@ -213,6 +213,34 @@ def test_resident_rejects_unequal_shards(rng, tmp_path):
                               rng=np.random.default_rng(1), epochs=1)
 
 
+def test_resident_rejects_over_budget_rotation_plan(rng, tmp_path,
+                                                    monkeypatch):
+    """A rotation plan whose total upload volume exceeds the host-pin
+    budget hard-fails BEFORE any upload (the tunnel client pins one host
+    copy per device_put — RESULTS.md incident 5)."""
+    from d3feat_tpu.train import resident
+    from d3feat_tpu.train.trainer import create_train_state
+    cfg = tiny_cfg(epoch_steps=1)
+    anc, pos, corr = synthetic_pair(rng)
+    cache = PairPyramidCache(cfg)
+    for _ in range(4):
+        cache.add_pair(anc, pos, corr)
+    per_pair = cache.stacked_nbytes_per_pair()
+    assert per_pair > 0
+    shards = cache.split_shards(2, np.random.default_rng(0))
+    _, variables = init_kpfcnn(cfg, cache._pairs[0]['pyramid'])
+    state = create_train_state(cfg, variables)
+    # 10 epochs x shard_epochs=1 -> 10 uploads of a 2-pair shard; budget
+    # set to afford only 3
+    monkeypatch.setattr(resident, 'HOST_PIN_UPLOAD_BUDGET_BYTES',
+                        3 * 2 * per_pair)
+    with pytest.raises(ValueError, match='host-pin'):
+        resident.run_resident_training(
+            cfg, shards, state, str(tmp_path / 'r'),
+            rng=np.random.default_rng(1), epochs=10, shard_epochs=1)
+    assert not (tmp_path / 'r' / 'snap-0').exists()
+
+
 @pytest.mark.slow
 def test_resident_train_step_matches_cached(rng):
     """Resident-mode step (device-side pair slicing) computes the same
