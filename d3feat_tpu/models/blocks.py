@@ -60,6 +60,14 @@ def trunc_normal_rounded(std: float):
     return init
 
 
+def _compute_dtype(config: Config):
+    """The forward compute dtype; stated explicitly at every contraction
+    so bf16 is in the program (== the MXU's implicit DEFAULT rounding of
+    f32 operands) and f32 operands always mean exact-f32 contractions."""
+    return (jnp.bfloat16 if config.compute_dtype == 'bfloat16'
+            else jnp.float32)
+
+
 def leaky_relu(x: jax.Array) -> jax.Array:
     """alpha=0.2 (`network_blocks.py:185-186`)."""
     return jax.nn.leaky_relu(x, negative_slope=0.2)
@@ -345,7 +353,8 @@ class DeformableKPConvOp(nn.Module):
                             (self.in_dim, offset_dim))
             b0 = self.param('offset_mlp_bias', nn.initializers.zeros,
                             (offset_dim,))
-            feats0 = unary_conv(features, w0) + b0
+            feats0 = unary_conv(features, w0,
+                                dtype=_compute_dtype(cfg)) + b0
             off = feats0[:, :dim * (p - 1)].reshape(-1, p - 1, dim)
             # center kernel point fixed (`convolution_ops.py:568-585`)
             offsets = jnp.concatenate(
@@ -445,7 +454,7 @@ class Unary(nn.Module):
         w = self.param('weights',
                        trunc_normal_rounded(float(np.sqrt(2.0 / self.out_dim))),
                        (x.shape[-1], self.out_dim))
-        y = unary_conv(x, w)
+        y = unary_conv(x, w, dtype=_compute_dtype(self.config))
         if self.bn_relu:
             y = MaskedBatchNorm(self.config.batch_norm_momentum)(
                 y, mask, training)
@@ -464,7 +473,7 @@ class LastUnary(nn.Module):
         w = self.param('weights',
                        trunc_normal_rounded(float(np.sqrt(2.0 / d))),
                        (x.shape[-1], d))
-        return unary_conv(x, w)
+        return unary_conv(x, w, dtype=_compute_dtype(self.config))
 
 
 class SimpleBlock(nn.Module):

@@ -53,8 +53,17 @@ def f32_exact_precision(*operands) -> jax.lax.Precision | None:
     return None
 
 
-def unary_conv(features: jax.Array, weights: jax.Array) -> jax.Array:
-    """1x1 convolution = matmul (`kernels/convolution_ops.py:90-99`)."""
+def unary_conv(features: jax.Array, weights: jax.Array,
+               dtype=None) -> jax.Array:
+    """1x1 convolution = matmul (`kernels/convolution_ops.py:90-99`).
+
+    `dtype` is the compute dtype: bf16 casts the operands explicitly —
+    bit-identical to what the MXU's DEFAULT precision did implicitly to
+    f32 operands, but stated in the program so f32 operands always mean
+    exact-f32 (HIGHEST) contractions."""
+    if dtype is not None:
+        features = features.astype(dtype)
+        weights = weights.astype(dtype)
     return jnp.dot(features, weights, preferred_element_type=jnp.float32,
                    precision=f32_exact_precision(features, weights))
 
@@ -364,9 +373,13 @@ def kpconv_ones(
     wsum = jnp.einsum('npk,nk->np', weights, valid,
                       preferred_element_type=jnp.float32,       # [Nq, P]
                       precision=f32_exact_precision(weights, valid))
-    out = jnp.dot(wsum, kernel_weights[:, 0, :],
-                  preferred_element_type=jnp.float32,
-                  precision=f32_exact_precision(wsum, kernel_weights))
+    # second contraction in the compute dtype (weights.dtype): explicit
+    # bf16 operands == the MXU's old implicit DEFAULT rounding of the f32
+    # inputs; f32 operands get exact-f32 (HIGHEST)
+    wsum = wsum.astype(weights.dtype)
+    kw = kernel_weights[:, 0, :].astype(weights.dtype)
+    out = jnp.dot(wsum, kw, preferred_element_type=jnp.float32,
+                  precision=f32_exact_precision(wsum, kw))
     neighbor_num = jnp.maximum(
         jnp.sum(valid.astype(jnp.float32), axis=-1), 1.0)
     return out / neighbor_num[:, None]
