@@ -168,6 +168,17 @@ class Config:
     # non-keypoints; flooring their denominator damps instead of
     # amplifies them. 0 = exact reference semantics.
     score_beta_floor: float = 0.0
+    # Upper clamp on the detection score (0 = reference, no clamp). The
+    # two floors above bound the det-head GRADIENT near its poles, but
+    # the VALUE landscape still rewards runaway: an all-negative row has
+    # a negative beta denominator (reference semantics), so score ~
+    # alpha*|f|/|denom| grows without bound as features drift negative —
+    # the det loss then pays unboundedly for pushing junk rows' scores up
+    # (observed: r4a collapse, det_loss -430 within 200 steps). Healthy
+    # trained scores sit ~0.6-0.8 (demo run), so a clamp at 3.0 never
+    # binds on healthy rows while giving the det loss a bounded optimum;
+    # past the clamp the score gradient is exactly zero.
+    score_clamp: float = 0.0
 
     # ---- training ----------------------------------------------------------
     max_epoch: int = 200

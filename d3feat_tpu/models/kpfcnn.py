@@ -170,7 +170,8 @@ class KPFCNN(nn.Module):
             gather_dtype=gather_dtype, inv=inv0,
             lengths=pyramid['lengths'][0],
             norm_floor=cfg.score_norm_floor,
-            beta_floor=cfg.score_beta_floor)
+            beta_floor=cfg.score_beta_floor,
+            score_clamp=cfg.score_clamp)
         return descriptors, scores
 
     def _encoder_block(self, block, ctx, features, layer, fdim,
@@ -224,7 +225,8 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
                      num_clouds: int, gather_dtype=jnp.float32,
                      inv=None, lengths=None,
                      norm_floor: float = 0.0,
-                     beta_floor: float = 0.0) -> jax.Array:
+                     beta_floor: float = 0.0,
+                     score_clamp: float = 0.0) -> jax.Array:
     """D3Feat soft detection score (`models/D3Feat.py:67-115`).
 
     Args:
@@ -244,6 +246,10 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
         (config `score_beta_floor`) — the second pole of the reference
         head: `f/(1e-6+depth_max)` with depth_max near/below zero
         (see the beta comment below). 0 = reference.
+      score_clamp: upper clamp on the score (config `score_clamp`) —
+        bounds the det-loss VALUE landscape the floors alone leave open
+        (all-negative rows score ~ alpha*|f|/|denom|, unbounded as
+        features drift negative). 0 = reference.
 
     Returns [N0, 1] scores (pad rows 0).
     """
@@ -305,13 +311,32 @@ def detection_scores(neighbors0: jax.Array, cloud_inds: jax.Array,
     alpha = jax.nn.softplus(f - mean_f)
 
     # channel-max ratio beta (D3Feat.py:100-102). The denominator is a
-    # per-row channel max that can approach (or cross) zero on weak rows;
-    # `beta_floor` > 0 bounds it away from the pole (config
-    # `score_beta_floor` — gradient-tail mitigation, 0 = reference).
+    # per-row channel max that can approach zero from EITHER side on weak
+    # rows; `beta_floor` > 0 bounds its MAGNITUDE away from the pole,
+    # preserving its sign (config `score_beta_floor`, 0 = reference).
+    # Sign preservation is load-bearing: reference scores are always
+    # >= 0 (all-negative rows have a negative denominator, so beta stays
+    # positive), and the det loss relies on that lower bound — a one-
+    # sided max() floor flipped beta negative on all-negative rows and
+    # opened an unbounded det-loss hole (score -> -inf rewarded), which
+    # collapsed training within 200 steps (r4a incident, RESULTS.md).
     depth_max = jnp.max(f, axis=1, keepdims=True)
+    denom = 1e-6 + depth_max
     if beta_floor > 0.0:
-        depth_max = jnp.maximum(depth_max, beta_floor)
-    beta = f / (1e-6 + depth_max)
+        # the floored sign keys on depth_max (not on the 1e-6-shifted
+        # denominator): depth_max <= 0 means every channel is <= 0, and
+        # only a NEGATIVE denominator keeps beta — and the score — >= 0
+        # there (depth_max in (-1e-6, 0] has a positive tiny denominator
+        # in the reference, the second branch of the same pole)
+        sgn = jnp.where(depth_max > 0.0, 1.0, -1.0)
+        denom = jnp.where(jnp.abs(denom) < beta_floor, sgn * beta_floor,
+                          denom)
+    beta = f / denom
 
     score = jnp.max(alpha * beta, axis=1, keepdims=True)
+    if score_clamp > 0.0:
+        # bounded det-loss optimum: zero gradient past the clamp (config
+        # `score_clamp` — see its comment for the runaway mode; 0 =
+        # reference). Healthy trained scores are ~0.6-0.8, far below it.
+        score = jnp.minimum(score, score_clamp)
     return jnp.where(mask0[:, None], score, 0.0)

@@ -53,6 +53,12 @@ def main():
                          'gradient pole — rows whose channel max sits '
                          'near/below zero; 0.01 damps sub-1%%-of-cloud-max '
                          'rows instead of amplifying them)')
+    ap.add_argument('--score-clamp', type=float, default=None,
+                    help='upper clamp on the detection score (config.'
+                         'score_clamp; bounds the det-loss value '
+                         'landscape — healthy trained scores are '
+                         '~0.6-0.8, so 3.0 never binds on healthy rows; '
+                         '0 = reference)')
     ap.add_argument('--keypts-num', type=int, default=None,
                     help='correspondences sampled per pair (config.'
                          'keypts_num; detector-placement lever)')
@@ -130,6 +136,8 @@ def main():
         cfg = cfg.replace(score_norm_floor=args.score_norm_floor)
     if args.score_beta_floor is not None:
         cfg = cfg.replace(score_beta_floor=args.score_beta_floor)
+    if args.score_clamp is not None:
+        cfg = cfg.replace(score_clamp=args.score_clamp)
     if args.keypts_num is not None:
         cfg = cfg.replace(keypts_num=args.keypts_num)
     if args.det_loss_weight is not None:

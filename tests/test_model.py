@@ -252,6 +252,51 @@ def test_score_beta_floor(rng):
     g_floor = grad_norm(feats, 0.01)
     assert g_floor < g_ref / 50, (g_ref, g_floor)
 
+    # scores stay >= 0 under the floor (the reference invariant the det
+    # loss relies on): all-negative rows keep a NEGATIVE denominator, so
+    # beta must not flip sign (r4a collapse incident — a one-sided max()
+    # floor rewarded score -> -inf and collapsed training in 200 steps)
+    feats_neg = feats.copy()
+    feats_neg[3] = -np.abs(feats_neg[3]) - 0.5       # strongly all-negative
+    s = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                         jnp.asarray(mask), jnp.asarray(feats_neg),
+                         num_clouds=1, beta_floor=0.01)
+    assert float(jnp.min(s)) >= 0.0, float(jnp.min(s))
+
+
+def test_score_clamp(rng):
+    """`score_clamp` bounds the det-loss value landscape: scores cap at
+    the clamp (zero gradient past it) and rows below it are bit-identical
+    (0 = reference)."""
+    n, k, d = 40, 6, 8
+    neigh = rng.integers(0, n, (n, k)).astype(np.int32)
+    cloud_inds = np.zeros(n, np.int32)
+    mask = np.ones(n, bool)
+    # drive one row's channels strongly negative: with the sign-preserved
+    # beta denominator its score is a large POSITIVE alpha*|f|/|denom|
+    feats = rng.standard_normal((n, d)).astype(np.float32)
+    feats[7] = -np.abs(feats[7]) * 50.0 - 10.0
+
+    def scores(clamp):
+        return detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
+                                jnp.asarray(mask), jnp.asarray(feats),
+                                num_clouds=1, beta_floor=0.01,
+                                score_clamp=clamp)
+    s_ref = np.asarray(scores(0.0))
+    assert s_ref.max() > 3.0          # the runaway row actually runs away
+    s_cl = np.asarray(scores(3.0))
+    assert s_cl.max() <= 3.0
+    below = s_ref[:, 0] < 3.0
+    np.testing.assert_array_equal(s_cl[below], s_ref[below])
+
+    # the clamp kills the runaway gradient: d(sum scores)/d(features) on
+    # the clamped row is exactly zero
+    g = jax.grad(lambda x: jnp.sum(detection_scores(
+        jnp.asarray(neigh), jnp.asarray(cloud_inds), jnp.asarray(mask),
+        x, num_clouds=1, beta_floor=0.01, score_clamp=3.0)))(
+            jnp.asarray(feats))
+    assert np.isfinite(np.asarray(g)).all()
+
     # healthy rows: every row's channel max clears the floor -> no-op
     healthy = np.abs(rng.standard_normal((n, d)).astype(np.float32)) + 0.5
     s_ref = detection_scores(jnp.asarray(neigh), jnp.asarray(cloud_inds),
