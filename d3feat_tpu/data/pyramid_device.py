@@ -64,9 +64,12 @@ def build_pyramid_device(
         across levels because r/dl is constant.
 
     Returns (pyramid dict pytree — same keys/shapes/dtypes as the host
-    `build_pyramid` for B == 1 — and a scalar `ok` that is False if any
-    static capacity overflowed and the caller must retry with larger
-    caps).
+    `build_pyramid` for B == 1 — and `ok` [3] bool: [0] hard failures
+    (grid extent / level point capacity — not growable by the two knobs;
+    fall back to the host builder or a wider point bucket), [1] occupied-
+    cell overflow (grow `cell_ratio`), [2] candidates-per-cell overflow
+    (grow `cand_cap`).  Per-axis flags let the retry ladder grow only the
+    knob that overflowed instead of escalating both.
     """
     caps = config.level_capacities()
     limits = config.neighborhood_limits
@@ -86,12 +89,14 @@ def build_pyramid_device(
 
     pts = [points]
     ns = [n_valid]
-    ok = jnp.bool_(True)
+    # per-axis overflow flags (hard = grid/level-capacity, not growable by
+    # the (cell_ratio, cand_cap) ladder; cells / cand = the two knobs)
+    ok = jnp.array([True, True, True])
     # subsample first so every level's table can seed from its neighbors
     for l in range(num_layers - 1):
         sub, n_sub, sok = grid_subsample_device(
             pts[l], ns[l], 2.0 * dl * (2.0 ** l), caps[l + 1])
-        ok &= sok
+        ok = ok.at[0].set(ok[0] & sok)
         pts.append(sub)
         ns.append(n_sub)
 
@@ -112,7 +117,6 @@ def build_pyramid_device(
             cell_cap=max(int(cap * cell_ratio) // 256 * 256, 256),
             cand_cap=cand_cap,
             seeds=seed_arr)
-        ok &= table.ok
 
         conv_i, conv_rel, cok = radius_search(
             table, pts[l], ns[l], r, k_l, with_rel=host_geom)

@@ -106,7 +106,11 @@ class CellTable(NamedTuple):
                                 #   logical bytes and the search slices
                                 #   per-coordinate [C, cap] views
     cand_valid: jnp.ndarray     # [C_cap, cand_cap] bool
-    ok: jnp.ndarray             # scalar bool: no cap overflowed
+    ok_grid: jnp.ndarray        # scalar bool: every valid point fit the
+                                #   1024^3 cell grid (not growable by the
+                                #   cap ladder -> host fallback)
+    ok_cells: jnp.ndarray       # scalar bool: occupied cells <= cell_cap
+    ok_cand: jnp.ndarray        # scalar bool: candidates/cell <= cand_cap
 
 
 def _cell_coords(points: jnp.ndarray, origin: jnp.ndarray,
@@ -165,7 +169,7 @@ def build_cell_table(
     inv_cell = jnp.float32(1.0) / jnp.float32(radius)
     cc = _cell_coords(points, origin, inv_cell)
     in_grid = jnp.all((cc >= 0) & (cc < _GRID), axis=-1)
-    ok = jnp.all(~valid | in_grid)
+    ok_grid = jnp.all(~valid | in_grid)
     key = jnp.where(valid & in_grid, _pack(jnp.clip(cc, 0, _GRID - 1)),
                     _KEY_INVALID)
     order = jnp.argsort(key).astype(jnp.int32)
@@ -188,7 +192,7 @@ def build_cell_table(
     first = jnp.concatenate([v[:1], v[1:] & (allkey[1:] != allkey[:-1])])
     cid = jnp.cumsum(first.astype(jnp.int32)) - 1
     n_cells = jnp.max(jnp.where(v, cid + 1, 0))
-    ok &= n_cells <= cell_cap
+    ok_cells = n_cells <= cell_cap
     ckey = jnp.full((cell_cap,), _KEY_INVALID, jnp.int32)
     ckey = ckey.at[jnp.where(v & first, cid, cell_cap)].set(
         allkey, mode='drop')
@@ -221,7 +225,7 @@ def build_cell_table(
     # compact the 9 runs head-to-tail into cand_cap slots
     off = jnp.cumsum(run, axis=1) - run                      # exclusive
     total = off[:, -1] + run[:, -1]
-    ok &= jnp.max(total) <= cand_cap
+    ok_cand = jnp.max(total) <= cand_cap
     t = jnp.arange(cand_cap)
     # probe index covering slot t: rightmost probe with off <= t.  A
     # broadcast comparison-sum, NOT a vmapped searchsorted — vmapping
@@ -290,7 +294,7 @@ def build_cell_table(
     # (d2_bits << 32 | index) keys, and needs no order[] gather of its own
     return CellTable(sxyz, order, origin, inv_cell, ckey,
                      pos.astype(jnp.int32), cand_ord.astype(jnp.int32),
-                     cand_flat, cand_valid, ok)
+                     cand_flat, cand_valid, ok_grid, ok_cells, ok_cand)
 
 
 def radius_search(
@@ -310,7 +314,9 @@ def radius_search(
     get all-shadow rows; shadow index == len(table.sorted_xyz) (support
     capacity).  Rows beyond `n_q` are all-shadow.
 
-    Returns (idx [Nq, K] int32, rel int16 [Nq, K, 3] | None, ok bool).
+    Returns (idx [Nq, K] int32, rel int16 [Nq, K, 3] | None,
+    ok [3] bool = (grid ok incl. queries, cells ok, cand ok) — per-axis so
+    the caller's retry ladder grows only the knob that overflowed).
     """
     nq_cap = queries.shape[0]
     ms = table.sorted_xyz.shape[0]
@@ -324,7 +330,8 @@ def radius_search(
 
     qcc = _cell_coords(queries, table.origin, table.inv_cell)
     q_in = jnp.all((qcc >= 0) & (qcc < _GRID), axis=-1)
-    ok = table.ok & jnp.all(~qvalid | q_in)
+    ok = jnp.stack([table.ok_grid & jnp.all(~qvalid | q_in),
+                    table.ok_cells, table.ok_cand])
     qkey = jnp.where(qvalid & q_in, _pack(jnp.clip(qcc, 0, _GRID - 1)),
                      _KEY_INVALID)
     rank = jnp.searchsorted(table.ckey, qkey, side='left', method='sort')

@@ -37,10 +37,10 @@ from d3feat_tpu.models.kpfcnn import KPFCNN
 def make_dp_extract(config: Config, mesh: Mesh, axis: str = 'data',
                     cell_ratio: float = 0.45, cand_cap: int = 160):
     """Build extract(variables, points [D, cap, 3], ns [D]) ->
-    (desc [D, cap, 32], scores [D, cap], ok [D]).
+    (desc [D, cap, 32], scores [D, cap], ok [D, 3] per-axis flags).
 
     D must be a multiple of the mesh size.  `config.max_points` fixes the
-    per-fragment capacity (pad rows at 1e6).  ok[i] False means fragment
+    per-fragment capacity (pad rows at 1e6).  ok[i].all() False means fragment
     i overflowed a static search cap and must be retried (bigger
     cell_ratio / cand_cap, or the host path) — same contract as
     `runtime.tester.DescriptorExtractor`.
@@ -119,7 +119,7 @@ def generate_descriptors_dp(
         times.append((time.perf_counter() - t0) / len(group))
         for i, (scene, frag_id, pts) in enumerate(group):
             n = len(pts)
-            if ok[i]:
+            if ok[i].all():
                 dump_fragment(dirs, scene, frag_id, pts,
                               desc[i, :n], score[i, :n])
             else:

@@ -49,8 +49,15 @@ class DescriptorExtractor:
     builder, so results never silently degrade.
     """
 
-    # (cell_ratio, cand_cap) escalation ladder for the device pyramid
-    _DEVICE_GROWTH = ((0.45, 160), (0.75, 288), (1.2, 512))
+    # Independent escalation ladders for the device pyramid's two static
+    # capacities.  Rung 0 covers measured post-voxel 3DMatch-like
+    # fragments (occupied cells <=0.153 of points, candidates/cell
+    # <=224 across the demo pair + the synthetic eval corpus); the
+    # per-axis overflow flags from build_pyramid_device grow only the
+    # knob that overflowed, and the successful rung is remembered per
+    # point bucket so later same-shaped fragments skip the failed runs.
+    _CELL_RATIOS = (0.22, 0.45, 1.2)
+    _CAND_CAPS = (240, 352, 512)
 
     def __init__(self, config: Config, variables: Dict,
                  timer: Optional[list] = None,
@@ -58,6 +65,7 @@ class DescriptorExtractor:
         self.config = config
         self.variables = variables
         self._fns: Dict[int, callable] = {}
+        self._rung: Dict[int, Tuple[int, int]] = {}  # bucket -> rung pair
         self.timer = timer if timer is not None else []
         self.device_pyramid = device_pyramid
 
@@ -90,11 +98,12 @@ class DescriptorExtractor:
             self._fns[key] = (cfg, fwd)
         return self._fns[key]
 
-    def _device_fn(self, cap: int, grow: int):
+    def _device_fn(self, cap: int, grow: Tuple[int, int]):
         key = ('dev', cap, grow)
         if key not in self._fns:
             from d3feat_tpu.data.pyramid_device import build_pyramid_device
-            cell_ratio, cand_cap = self._DEVICE_GROWTH[grow]
+            cell_ratio = self._CELL_RATIOS[grow[0]]
+            cand_cap = self._CAND_CAPS[grow[1]]
             cfg = self.config.replace(max_points=cap)
             model = KPFCNN(cfg)
 
@@ -115,16 +124,32 @@ class DescriptorExtractor:
         cap = _bucket(n, self.config.size_multiple)
         padded = np.full((cap, 3), 1e6, np.float32)
         padded[:n] = points
-        for grow in range(len(self._DEVICE_GROWTH)):
-            fwd = self._device_fn(cap, grow)
+        i_cell, i_cand = self._rung.get(cap, (0, 0))
+        while True:
+            fwd = self._device_fn(cap, (i_cell, i_cand))
             t0 = time.perf_counter()
             desc, score, ok = fwd(self.variables, padded, np.int32(n))
-            if bool(jax.device_get(ok)):
+            ok_hard, ok_cells, ok_cand = (bool(x) for x in
+                                          jax.device_get(ok))
+            if ok_hard and ok_cells and ok_cand:
                 desc = np.asarray(jax.device_get(desc))[:n]
                 score = np.asarray(jax.device_get(score))[:n, 0]
                 self.timer.append(time.perf_counter() - t0)
+                # remember the winning rung: later same-bucket fragments
+                # start here instead of re-failing the smaller programs
+                self._rung[cap] = (i_cell, i_cand)
                 return desc, score
-        return None                       # caller falls back to host build
+            if not ok_hard:
+                return None               # grid/level capacity: host build
+            grew = False
+            if not ok_cells and i_cell + 1 < len(self._CELL_RATIOS):
+                i_cell += 1
+                grew = True
+            if not ok_cand and i_cand + 1 < len(self._CAND_CAPS):
+                i_cand += 1
+                grew = True
+            if not grew:
+                return None               # ladder exhausted: host build
 
     def _forward_multi(self, cap: int, b: int):
         key = ('multi', cap, b)
@@ -201,7 +226,7 @@ class DescriptorExtractor:
         dispatches (async), stack results on device, fetch once — the
         per-fragment fetch round trips collapse into three per chunk."""
         import jax.numpy as jnp
-        fwd = self._device_fn(cap, 0)
+        fwd = self._device_fn(cap, self._rung.get(cap, (0, 0)))
         handles = []
         t0 = time.perf_counter()
         for i in chunk:
@@ -217,7 +242,7 @@ class DescriptorExtractor:
         self.timer.append(time.perf_counter() - t0)
         for j, i in enumerate(chunk):
             n = len(points_list[i])
-            if oks[j]:
+            if oks[j].all():
                 out[i] = (descs[j, :n], scores[j, :n, 0])
             else:
                 # rare static-capacity overflow: per-fragment retry ladder

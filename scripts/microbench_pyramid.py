@@ -177,7 +177,7 @@ def main():
                 s += jnp.sum(a.astype(jnp.int32) % 97)
             else:
                 s += jnp.sum(jnp.where(jnp.isfinite(a), a, 0.0))
-        return s + ok
+        return s + jnp.all(ok)
 
     timed('FULL build_pyramid_device', full, pts0, n0)
 

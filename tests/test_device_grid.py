@@ -82,7 +82,7 @@ def test_conv_search_matches_host(cloud):
     idx_d, rel_d, ok = jax.jit(lambda p, nn: radius_search(
         build_cell_table(p, nn, r, cell_cap=cap // 2, cand_cap=160),
         p, nn, r, k, with_rel=True))(jnp.asarray(pad), jnp.int32(n))
-    assert bool(ok)
+    assert bool(ok.all())
     idx_h = radius_neighbors(cloud, cloud, r, k)
     idx_h = np.where(idx_h >= n, cap, idx_h)
     good, row = rows_equal_or_same_set(np.asarray(idx_d)[:n], idx_h,
@@ -113,7 +113,7 @@ def test_cross_level_searches_match_host(cloud):
                          seeds=q, n_seeds=nq),
         q, nq, r, k))(jnp.asarray(pad), jnp.int32(n),
                       jnp.asarray(pad2), jnp.int32(n2))
-    assert bool(ok)
+    assert bool(ok.all())
     pool_h = radius_neighbors(sub, cloud, r, k)
     pool_h = np.where(pool_h >= n, cap, pool_h)
     good, row = rows_equal_or_same_set(np.asarray(pool_d)[:n2], pool_h,
@@ -125,7 +125,7 @@ def test_cross_level_searches_match_host(cloud):
                          seeds=q, n_seeds=nq),
         q, nq, 2 * r, 1))(jnp.asarray(pad2), jnp.int32(n2),
                           jnp.asarray(pad), jnp.int32(n))
-    assert bool(ok)
+    assert bool(ok.all())
     up_h = radius_neighbors(cloud, sub, 2 * r, 1)
     up_h = np.where(up_h >= n2, cap2, up_h)
     assert (np.asarray(up_d)[:n] == up_h).mean() > 0.9999
@@ -139,12 +139,14 @@ def test_overflow_is_flagged_not_silent(cloud):
     _, _, ok = jax.jit(lambda p, nn: radius_search(
         build_cell_table(p, nn, 0.075, cell_cap=256, cand_cap=160),
         p, nn, 0.075, 8))(jnp.asarray(pad), jnp.int32(n))
-    assert not bool(ok)
+    ok = np.asarray(ok)
+    assert ok[0] and not ok[1]   # only the CELLS axis tripped
     # cand_cap far below the 27-cell candidate count
     _, _, ok = jax.jit(lambda p, nn: radius_search(
         build_cell_table(p, nn, 0.075, cell_cap=cap, cand_cap=8),
         p, nn, 0.075, 8))(jnp.asarray(pad), jnp.int32(n))
-    assert not bool(ok)
+    ok = np.asarray(ok)
+    assert ok[0] and ok[1] and not ok[2]   # only the CAND axis tripped
 
 
 def test_device_pyramid_matches_host(cloud):
@@ -154,7 +156,7 @@ def test_device_pyramid_matches_host(cloud):
     caps = cfg.level_capacities()
     dp, ok = jax.jit(lambda p, nn: build_pyramid_device(p, nn, cfg))(
         jnp.asarray(pad_to(cloud, caps[0])), jnp.int32(n))
-    assert bool(ok)
+    assert bool(ok.all())
     hp = build_pyramid(cloud, [n], cfg)
     assert [int(np.asarray(x)[0]) for x in dp['lengths']] == \
         [int(x[0]) for x in hp['lengths']]
@@ -187,7 +189,7 @@ def test_forward_equal_from_either_pyramid(cloud):
     caps = cfg.level_capacities()
     dp, ok = jax.jit(lambda p, nn: build_pyramid_device(p, nn, cfg))(
         jnp.asarray(pad_to(cloud, caps[0])), jnp.int32(n))
-    assert bool(ok)
+    assert bool(ok.all())
     hp = build_pyramid(cloud, [n], cfg)
     model, variables = init_kpfcnn(cfg, hp)
     fwd = jax.jit(lambda v, p: model.apply(v, p, training=False))
@@ -219,6 +221,48 @@ def test_extractor_device_pyramid_matches_host(cloud):
     assert len(dev.timer) == 1      # the device path actually ran
     np.testing.assert_allclose(dd, dh, atol=2e-5)
     np.testing.assert_allclose(sd, sh, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_extractor_grows_only_overflowed_axis(cloud):
+    """A dense cluster overflows only the candidates-per-cell cap: the
+    retry ladder must grow the cand axis alone (not cells), remember the
+    winning rung for the bucket, and still match the host path."""
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.runtime import DescriptorExtractor
+    rng = np.random.default_rng(3)
+    # ~400 points inside one 7.5 cm ball -> candidates/cell lands between
+    # rung 0 (240) and the top rung (512) so the ladder must grow exactly
+    # once on the cand axis; occupied-cell count stays tiny; plus a
+    # sparse shell for scale
+    dense = rng.normal(0.0, 0.015, (400, 3)).astype(np.float32)
+    # 0.4 m extent, displaced 1 m from the cluster so the two point sets
+    # share no 27-cell neighborhood; ~5^3 occupied 7.5 cm cells keeps the
+    # rung-0 cell cap clear, so ONLY the cand axis trips (400 in the
+    # cluster's cells: between rung 0 = 240 and the top rung = 512)
+    shell = (rng.random((1600, 3)).astype(np.float32) - 0.5) * 0.4 + 1.0
+    pts = np.concatenate([dense, shell])
+    # ratio 1.0: the sparse shell barely subsamples, so the default
+    # tight per-level ratios would overflow the HOST comparison build
+    cfg = threedmatch_config(compute_dtype='float32',
+                             level_capacity_ratio=1.0,
+                             level_capacity_ratios=())
+    hp = build_pyramid(pts, [len(pts)],
+                       cfg.replace(max_points=2048, size_multiple=1024))
+    _, variables = init_kpfcnn(cfg.replace(max_points=2048), hp)
+    host = DescriptorExtractor(cfg, variables)
+    dev = DescriptorExtractor(cfg, variables, device_pyramid=True)
+    dd, sd = dev.extract(pts)
+    cap = 2048
+    assert dev._rung[cap][1] > 0, 'cand axis should have grown'
+    assert dev._rung[cap][0] == 0, 'cells axis should NOT have grown'
+    dh, sh = host.extract(pts)
+    np.testing.assert_allclose(dd, dh, atol=2e-5)
+    np.testing.assert_allclose(sd, sh, atol=2e-5)
+    # rung memory: the next same-bucket extract starts at the winning rung
+    compiled_before = len(dev._fns)
+    dev.extract(pts)
+    assert len(dev._fns) == compiled_before
 
 
 @pytest.mark.slow
@@ -266,7 +310,7 @@ def test_device_pyramid_matches_host_kitti_geometry():
     caps = cfg.level_capacities()
     dp, ok = jax.jit(lambda p, nn: build_pyramid_device(p, nn, cfg))(
         jnp.asarray(pad_to(cloud_k, caps[0])), jnp.int32(n))
-    assert bool(ok)
+    assert bool(ok.all())
     hp = build_pyramid(cloud_k, [n], cfg)
     assert [int(np.asarray(x)[0]) for x in dp['lengths']] == \
         [int(x[0]) for x in hp['lengths']]
