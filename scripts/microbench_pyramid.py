@@ -37,8 +37,8 @@ def main():
     ap.add_argument('--n', type=int, default=100_000)
     ap.add_argument('--iters', type=int, default=10)
     ap.add_argument('--repeats', type=int, default=3)
-    ap.add_argument('--cand-cap', type=int, default=160)
-    ap.add_argument('--cell-ratio', type=float, default=0.45)
+    ap.add_argument('--cand-cap', type=int, default=240)
+    ap.add_argument('--cell-ratio', type=float, default=0.22)
     args = ap.parse_args()
 
     import jax
@@ -170,7 +170,7 @@ def main():
     print(f'{"SUM of isolated stages":36s} {total:8.2f} ms', flush=True)
 
     def full(p, n):
-        pyr, ok = build_pyramid_device(p, n, cfg)
+        pyr, ok = build_pyramid_device(p, n, cfg, cell_ratio=args.cell_ratio, cand_cap=args.cand_cap)
         s = jnp.float32(0)
         for a in jax.tree.leaves(pyr):
             if a.dtype in (jnp.int32, jnp.int16, jnp.bool_):
