@@ -25,6 +25,9 @@ def main():
     ap.add_argument('--voxel', type=float, default=0.03)
     ap.add_argument('--limit', type=int, default=20,
                     help='max fragments to sample')
+    ap.add_argument('--kp-extent', type=float, default=None,
+                    help='calibrate under this KP_extent (2.0 = the ETH '
+                         'rescaled geometry, test_eth.py:37-39)')
     args = ap.parse_args()
 
     from d3feat_tpu.config import threedmatch_config
@@ -55,6 +58,8 @@ def main():
           f'{int(np.median(sizes))} max {sizes.max()}')
 
     cfg = threedmatch_config(first_subsampling_dl=args.voxel)
+    if args.kp_extent is not None:
+        cfg = cfg.replace(KP_extent=args.kp_extent)
     knobs = calibrate(clouds, cfg)
     print('\nsuggested config overrides:')
     for k, v in knobs.items():

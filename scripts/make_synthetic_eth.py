@@ -67,7 +67,8 @@ def make_outdoor_scene(rng, density=120.0):
     return pts
 
 
-def make_scan_fragments(rng, scene, n_frags, min_pts=60000):
+def make_scan_fragments(rng, scene, n_frags, min_pts=60000,
+                        rmin=11.0, rspread=5.0, max_pts=None):
     """Scanner-pose partial views: range ball (~14 m) + panoramic wedge."""
     lo, hi = scene.min(0), scene.max(0)
     frags = []
@@ -82,8 +83,10 @@ def make_scan_fragments(rng, scene, n_frags, min_pts=60000):
         rel = scene - cam
         dist = np.linalg.norm(rel, axis=1)
         cosang = (rel @ direction) / np.maximum(dist, 1e-9)
-        keep = (dist < 11.0 + rng.random() * 5.0) & (cosang > -0.2)
+        keep = (dist < rmin + rng.random() * rspread) & (cosang > -0.2)
         if keep.sum() < min_pts:
+            continue
+        if max_pts is not None and keep.sum() > max_pts:
             continue
         frags.append(scene[keep])
     return frags
@@ -95,6 +98,20 @@ def main():
     ap.add_argument('--frags', type=int, default=4)
     ap.add_argument('--voxel', type=float, default=0.0625)
     ap.add_argument('--seed', type=int, default=31337)
+    ap.add_argument('--train-scenes', type=int, default=0,
+                    help='also emit an outdoor TRAINING corpus of N scenes '
+                         'in the reference 3DMatch pickle layout under '
+                         '--train-out, voxelized at --train-voxel (an '
+                         'ETH-native model; the real ETH protocol is '
+                         'zero-shot from 3DMatch, but real ETH scans are '
+                         'unobtainable here — this closes the '
+                         'rescaled-geometry path with a model that can '
+                         'actually match outdoor structure)')
+    ap.add_argument('--train-frags', type=int, default=6)
+    ap.add_argument('--train-out', default='data/synth_eth_train')
+    ap.add_argument('--train-voxel', type=float, default=0.05,
+                    help='training voxel == the ETH rescaled '
+                         'first_subsampling_dl (test_eth.py:37-39)')
     args = ap.parse_args()
 
     from d3feat_tpu.data.overlap import compute_overlap_and_matches
@@ -131,6 +148,44 @@ def main():
             fh.write('\n'.join(log_lines) + '\n')
         print(f'{scene_name}: {len(scene)} scene pts, {n_frag} fragments, '
               f'{len(log_lines) // 5} gt pairs', flush=True)
+
+    if args.train_scenes:
+        # Outdoor training corpus: smaller wedges (the stacked anc+pos
+        # pair must fit the 65536-point training bucket at 0.05 m voxel)
+        # over fresh procedural plots, emitted through the same overlap
+        # pipeline + pickle layout as the 3DMatch trainer consumes.
+        from d3feat_tpu.data.overlap import generate_training_pairs
+        n_val = max(1, args.train_scenes // 8)
+        frags, poses = {'train': {}, 'val': {}}, {'train': {}, 'val': {}}
+        for s in range(args.train_scenes + n_val):
+            split = 'train' if s < args.train_scenes else 'val'
+            scene = make_outdoor_scene(rng)
+            fw_list = make_scan_fragments(
+                rng, scene, args.train_frags, min_pts=12000,
+                rmin=5.5, rspread=2.5, max_pts=36000)
+            for k, fw in enumerate(fw_list):
+                pose = random_se3(rng)
+                local = ((fw - pose[:3, 3]) @ pose[:3, :3]).astype(
+                    np.float32)
+                fid = f'scene{s:02d}_{k}'
+                frags[split][fid] = local
+                poses[split][fid] = pose
+            print(f'train scene {s:02d} [{split}]: {len(fw_list)} '
+                  f'fragments', flush=True)
+        import pickle
+        for split in ('train', 'val'):
+            ids = sorted(frags[split])
+            cand = [(a, b) for a in ids for b in ids
+                    if a < b and a.split('_')[0] == b.split('_')[0]]
+            pts_file, kp_file = generate_training_pairs(
+                frags[split], poses[split], args.train_out, split=split,
+                voxel_size=args.train_voxel,
+                match_radius=args.train_voxel * 1.5,
+                candidate_pairs=cand)
+            with open(kp_file, 'rb') as fh:
+                n_pairs = len(pickle.load(fh))
+            print(f'{split}: {len(ids)} fragments, {n_pairs} pairs '
+                  f'-> {pts_file}', flush=True)
     print('done', flush=True)
 
 

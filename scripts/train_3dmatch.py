@@ -69,6 +69,19 @@ def main():
                          'safe_radius)')
     ap.add_argument('--max-points', type=int, default=None,
                     help='override the stacked-pair point capacity')
+    ap.add_argument('--dl', type=float, default=None,
+                    help='override first_subsampling_dl (e.g. 0.05 to '
+                         'train natively at the ETH rescaled geometry, '
+                         'test_eth.py:37-39)')
+    ap.add_argument('--kp-extent', type=float, default=None,
+                    help='override KP_extent (2.0 = ETH rescaling)')
+    ap.add_argument('--neighborhood-limits', default=None,
+                    help='comma-separated per-level K_l overriding the '
+                         '3DMatch-calibrated defaults (produce with '
+                         'scripts/dataset_stats.py on the target corpus)')
+    ap.add_argument('--level-capacity-ratios', default=None,
+                    help='comma-separated per-level capacity ratios '
+                         '(dataset_stats.py output)')
     ap.add_argument('--fdim', type=int, default=None,
                     help='override first_features_dim (smoke tests)')
     ap.add_argument('--dp', type=int, default=0,
@@ -144,6 +157,16 @@ def main():
         cfg = cfg.replace(det_loss_weight=args.det_loss_weight)
     if args.safe_radius is not None:
         cfg = cfg.replace(safe_radius=args.safe_radius)
+    if args.dl is not None:
+        cfg = cfg.replace(first_subsampling_dl=args.dl)
+    if args.kp_extent is not None:
+        cfg = cfg.replace(KP_extent=args.kp_extent)
+    if args.neighborhood_limits is not None:
+        cfg = cfg.replace(neighborhood_limits=tuple(
+            int(v) for v in args.neighborhood_limits.split(',')))
+    if args.level_capacity_ratios is not None:
+        cfg = cfg.replace(level_capacity_ratios=tuple(
+            float(v) for v in args.level_capacity_ratios.split(',')))
     save_dir = args.save_dir or time.strftime('results/Log_%m%d%H%M')
 
     dataset = ThreeDMatchDataset(args.data, cfg.first_subsampling_dl)
