@@ -43,6 +43,46 @@ def select_top_keypoints(keypts: np.ndarray, descs: np.ndarray,
     return keypts[order], descs[order]
 
 
+def select_nms_keypoints(keypts: np.ndarray, descs: np.ndarray,
+                         scores: np.ndarray, num: int = NUM_KEYPTS,
+                         radius: float = 0.06,
+                         pool: int = 40,
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-`num` by detection score with greedy spatial NMS.
+
+    An ABLATION selector, not the reference protocol (which takes the
+    raw top-k, `evaluate.py:46-50`): D3Feat's raw scores cluster on
+    high-saliency structures, so the top-250 often stack onto a few
+    spots — the keypoint-ceiling analysis (RESULTS.md r3) showed 16% of
+    eval pairs are geometrically unmatchable at raw top-250. Greedy
+    suppression of anything within `radius` of an already-picked point
+    spreads the same detector's budget across the cloud. Candidates are
+    the raw top `pool*num` (scores ascending in the dumps); if
+    suppression exhausts them before `num` are picked, the remainder is
+    filled with the highest-scoring suppressed points.
+    """
+    from scipy.spatial import cKDTree
+
+    m = min(len(scores), max(pool * num, num))
+    cand = np.argsort(scores.reshape(-1))[-m:][::-1]   # descending score
+    pts = keypts[cand]
+    tree = cKDTree(pts)
+    suppressed = np.zeros(m, dtype=bool)
+    picked: list = []
+    for idx in range(m):
+        if suppressed[idx]:
+            continue
+        picked.append(idx)
+        if len(picked) >= num:
+            break
+        suppressed[tree.query_ball_point(pts[idx], radius)] = True
+    if len(picked) < num:
+        rest = [i for i in range(m) if i not in set(picked)]
+        picked.extend(rest[:num - len(picked)])
+    sel = cand[np.asarray(picked, dtype=np.int64)]
+    return keypts[sel], descs[sel]
+
+
 def inlier_ratio_for_pair(
     src_keypts: np.ndarray,
     dst_keypts: np.ndarray,
@@ -79,6 +119,7 @@ def evaluate_scene_pairs(
     num_keypts: int = NUM_KEYPTS,
     tau1: float = TAU1,
     tau2: float = TAU2,
+    nms_radius: float = 0.0,
 ) -> Dict[str, float]:
     """Evaluate one scene.
 
@@ -87,15 +128,24 @@ def evaluate_scene_pairs(
       gt_pairs: (i, j, T_gt 4x4) with T_gt aligning fragment j onto i
         (the reference evaluates pair (i, j) by transforming j's keypoints,
         `evaluate.py:54-78`).
+      nms_radius: > 0 switches keypoint selection to the spatial-NMS
+        ablation (`select_nms_keypoints`); 0 = reference raw top-k.
     """
+    if nms_radius > 0.0:
+        def _select(f):
+            return select_nms_keypoints(f['keypts'], f['descriptors'],
+                                        f['scores'], num_keypts,
+                                        radius=nms_radius)
+    else:
+        def _select(f):
+            return select_top_keypoints(f['keypts'], f['descriptors'],
+                                        f['scores'], num_keypts)
     ratios = []
     inliers = []
     for i, j, t_gt in gt_pairs:
         fi, fj = fragments[i], fragments[j]
-        ki, di = select_top_keypoints(fi['keypts'], fi['descriptors'],
-                                      fi['scores'], num_keypts)
-        kj, dj = select_top_keypoints(fj['keypts'], fj['descriptors'],
-                                      fj['scores'], num_keypts)
+        ki, di = _select(fi)
+        kj, dj = _select(fj)
         r, n = inlier_ratio_for_pair(kj, ki, dj, di, t_gt, tau1)
         ratios.append(r)
         inliers.append(n)

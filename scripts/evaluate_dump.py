@@ -27,12 +27,17 @@ def main():
     ap.add_argument('--gt', required=True)
     ap.add_argument('--num-keypts', type=int, default=250)
     ap.add_argument('--ransac', action='store_true')
+    ap.add_argument('--nms-radius', type=float, default=0.0,
+                    help='> 0: spatial-NMS keypoint selection ablation '
+                         '(eval.fmr.select_nms_keypoints) instead of the '
+                         'reference raw top-k')
     ap.add_argument('--json-out', default=None,
                     help='append one JSON line with the full stats')
     args = ap.parse_args()
 
     from d3feat_tpu.eval.benchmark_logs import load_log, write_log
     from d3feat_tpu.eval.fmr import (evaluate_scene_pairs,
+                                     select_nms_keypoints,
                                      select_top_keypoints)
     from d3feat_tpu.eval.recall import load_info, registration_recall
     from d3feat_tpu.eval.registration import ransac_registration
@@ -45,7 +50,8 @@ def main():
         raise FileNotFoundError(f'no gt dir for {scene} under {args.gt}')
 
     scenes = sorted(os.listdir(os.path.join(args.dump, 'descriptors')))
-    out = {'scenes': {}, 'num_keypts': args.num_keypts}
+    out = {'scenes': {}, 'num_keypts': args.num_keypts,
+           'nms_radius': args.nms_radius}
     recalls = []
     for scene in scenes:
         gt = load_log(os.path.join(gt_dir(scene), 'gt.log'))
@@ -63,7 +69,8 @@ def main():
         pairs = [(int(k.split('_')[0]), int(k.split('_')[1]), t)
                  for k, t in gt.items()]
         stats = evaluate_scene_pairs(frags, pairs,
-                                     num_keypts=args.num_keypts)
+                                     num_keypts=args.num_keypts,
+                                     nms_radius=args.nms_radius)
         out['scenes'][scene] = {k: float(v) for k, v in stats.items()}
         print(f'{scene}: recall={stats["recall"]:.4f} '
               f'inlier_ratio={stats["inlier_ratio"]:.4f} '
@@ -72,13 +79,17 @@ def main():
         if args.ransac:
             records = []
             n_frag = len(frags)
+            def _sel(f):
+                if args.nms_radius > 0.0:
+                    return select_nms_keypoints(
+                        f['keypts'], f['descriptors'], f['scores'],
+                        args.num_keypts, radius=args.nms_radius)
+                return select_top_keypoints(
+                    f['keypts'], f['descriptors'], f['scores'],
+                    args.num_keypts)
             for i, j, _ in pairs:
-                ki, di = select_top_keypoints(
-                    frags[i]['keypts'], frags[i]['descriptors'],
-                    frags[i]['scores'], args.num_keypts)
-                kj, dj = select_top_keypoints(
-                    frags[j]['keypts'], frags[j]['descriptors'],
-                    frags[j]['scores'], args.num_keypts)
+                ki, di = _sel(frags[i])
+                kj, dj = _sel(frags[j])
                 t_est, _, _ = ransac_registration(
                     kj, ki, dj, di, distance_threshold=0.05,
                     max_iters=50000)
