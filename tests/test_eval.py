@@ -210,3 +210,30 @@ def test_icp_refines_noisy_pose(rng):
     t = icp_point_to_point(pts, dst, threshold=0.2, init=t_init)
     rte, rre = transform_error(t, t_gt)
     assert rte < 0.01 and rre < 0.5
+
+
+def test_nms_keypoint_selection(rng):
+    from d3feat_tpu.eval.fmr import select_nms_keypoints
+
+    # a dense cluster of top scores + a sparse field of mid scores: raw
+    # top-k would take the whole cluster; NMS must keep one per radius
+    cluster = (rng.random((50, 3)) * 0.02).astype(np.float32)
+    field = (rng.random((500, 3)) * 10 + 1.0).astype(np.float32)
+    pts = np.concatenate([cluster, field])
+    desc = rng.random((len(pts), 8)).astype(np.float32)
+    scores = np.concatenate([np.full(50, 10.0),
+                             rng.random(500) + 1.0]).astype(np.float32)
+
+    k, d = select_nms_keypoints(pts, desc, scores, num=20, radius=0.1)
+    assert k.shape == (20, 3) and d.shape == (20, 8)
+    # exactly one survivor from the 0.02-extent cluster at radius 0.1
+    assert (k[:, 0] < 0.5).sum() == 1
+    # survivors are pairwise >= radius apart
+    dist = np.linalg.norm(k[:, None] - k[None], axis=-1)
+    np.fill_diagonal(dist, 1e9)
+    assert dist.min() >= 0.1
+
+    # degenerate: fewer points than requested -> fills from suppressed
+    k2, _ = select_nms_keypoints(pts[:5], desc[:5], scores[:5],
+                                 num=5, radius=100.0)
+    assert k2.shape == (5, 3)
