@@ -94,10 +94,12 @@ def generate_descriptors_dp(
     import time
 
     from d3feat_tpu.runtime.tester import (DescriptorExtractor, _bucket,
-                                           _experiment_dirs, dump_fragment)
+                                           _experiment_dirs, dump_fragment,
+                                           path_signature, write_dump_meta)
 
     frags = list(fragments)
     base, dirs = _experiment_dirs(out_root, experiment)
+    write_dump_meta(base, path_signature(config, 'device'))
     if not frags:
         return base
     d = int(mesh.devices.size)

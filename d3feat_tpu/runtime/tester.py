@@ -282,6 +282,36 @@ def _experiment_dirs(out_root: str, experiment: str) -> Tuple[str, Dict]:
     return base, dirs
 
 
+def path_signature(config: Config, pyramid: str) -> Dict:
+    """The numeric identity of a dump: which pyramid builder produced the
+    geometry and which dtypes ran the forward.  Dumps with different
+    signatures are NOT comparable pair-for-pair at the 250-keypoint cut:
+    even all-f32 forwards differ across pyramid paths in low bits (host
+    barycenters accumulate in f64, the device pyramid in f32; the two
+    paths also compile different XLA programs), and the reference det
+    head's beta pole (`models/D3Feat.py:84-90`) can amplify that ulp
+    noise by ~1e8 on degenerate rows — measured in RESULTS.md round 4."""
+    return {'pyramid': pyramid,
+            'compute_dtype': config.compute_dtype,
+            'score_dtype': getattr(config, 'score_dtype',
+                                   config.compute_dtype)}
+
+
+def write_dump_meta(base: str, signature: Dict) -> None:
+    import json
+    with open(os.path.join(base, 'dump_meta.json'), 'w') as fh:
+        json.dump(signature, fh)
+
+
+def read_dump_meta(base: str) -> Optional[Dict]:
+    import json
+    p = os.path.join(base, 'dump_meta.json')
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
 def dump_fragment(dirs: Dict, scene: str, frag_id: int,
                   points: np.ndarray, desc: np.ndarray,
                   score: np.ndarray) -> None:
@@ -316,6 +346,9 @@ def generate_descriptors(
     dispatch (`DescriptorExtractor.extract_many`) — same numbers, ~Bx less
     tunnel round-trip wall clock."""
     base, dirs = _experiment_dirs(out_root, experiment)
+    write_dump_meta(base, path_signature(
+        extractor.config,
+        'device' if extractor.device_pyramid else 'host'))
     if batch_frags > 1:
         frags = list(fragments)
         results = extractor.extract_many([f[2] for f in frags],

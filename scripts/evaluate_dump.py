@@ -49,9 +49,13 @@ def main():
                 return p
         raise FileNotFoundError(f'no gt dir for {scene} under {args.gt}')
 
+    from d3feat_tpu.runtime.tester import read_dump_meta
     scenes = sorted(os.listdir(os.path.join(args.dump, 'descriptors')))
     out = {'scenes': {}, 'num_keypts': args.num_keypts,
-           'nms_radius': args.nms_radius}
+           'nms_radius': args.nms_radius,
+           # numeric identity of the dump (pyramid path + dtypes): results
+           # are only comparable pair-for-pair across equal signatures
+           'path': read_dump_meta(args.dump)}
     recalls = []
     for scene in scenes:
         gt = load_log(os.path.join(gt_dir(scene), 'gt.log'))

@@ -73,6 +73,7 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
         elif line.startswith('average FMR'):
             avg = float(line.rsplit(' ', 1)[1])
     return {'snap': n, 'fmr': avg, 'scenes': scene_stats,
+            'path': 'device' if device_pyramid else 'host',
             'ok': res.returncode == 0,
             'err': None if res.returncode == 0 else res.stderr[-800:]}
 
@@ -98,10 +99,21 @@ def main():
     args = ap.parse_args()
 
     out_path = os.path.join(args.log_dir, 'eval_fmr.jsonl')
+    path = 'device' if args.device_pyramid else 'host'
     done = set()
     if os.path.exists(out_path):
         with open(out_path) as fh:
-            done = {json.loads(l)['snap'] for l in fh if l.strip()}
+            records = [json.loads(l) for l in fh if l.strip()]
+        done = {r['snap'] for r in records}
+        # snapshot-to-snapshot comparison is only valid on ONE pyramid
+        # path (RESULTS.md round 4: the det head's beta pole amplifies
+        # cross-path ulp noise ~1e8 on degenerate rows; FMR moves 2-3
+        # pairs/129 even all-f32) — refuse to mix paths in one series
+        mixed = {r['path'] for r in records if 'path' in r} - {path}
+        if mixed:
+            sys.exit(f'{out_path} already holds {sorted(mixed)}-pyramid '
+                     f'evals; refusing to append {path}-pyramid ones. '
+                     f'Use a fresh log dir or rerun with the same path.')
     while True:
         present = [n for n in snaps_present(args.log_dir)
                    if n >= args.start and n % args.every == 0

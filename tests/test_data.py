@@ -169,3 +169,11 @@ def test_descriptor_dump_layout(tmp_path, rng):
         # keypoints are a permutation of the input points
         assert set(map(tuple, np.round(k, 5))) == set(
             map(tuple, np.round(pts[:n_pts], 5)))
+
+    # the dump self-describes its numeric identity (pyramid path +
+    # dtypes) so cross-path comparisons can be refused mechanically
+    from d3feat_tpu.runtime.tester import read_dump_meta
+    meta = read_dump_meta(out)
+    assert meta == {'pyramid': 'host',
+                    'compute_dtype': cfg.compute_dtype,
+                    'score_dtype': cfg.score_dtype}
