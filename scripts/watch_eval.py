@@ -26,6 +26,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def snaps_present(log_dir):
     out = []
+    if not os.path.isdir(log_dir):
+        # the trainer creates its log dir only after cache build +
+        # restore + first upload — a watcher started alongside the
+        # trainer must idle until then, not crash
+        return out
     for name in os.listdir(log_dir):
         if name.startswith('snap-'):
             try:

@@ -27,6 +27,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def snaps_present(log_dir):
     out = []
+    if not os.path.isdir(log_dir):
+        # trainer creates the log dir only after cache + restore +
+        # upload; a watcher started alongside it idles until then
+        return out
     for name in os.listdir(log_dir):
         if name.startswith('snap-'):
             try:
