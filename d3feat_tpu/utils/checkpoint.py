@@ -31,6 +31,32 @@ def restore_checkpoint(path: str, target: Any) -> Any:
     return ckptr.restore(path, target=jax.device_get(target))
 
 
+def rescale_kpoints(kpoints: Any, trained_cfg: Any, target_cfg: Any) -> Any:
+    """Rescale restored kernel-point dispositions across a geometry change.
+
+    The reference stores dispositions NORMALIZED and multiplies by the
+    layer kernel radius at graph build (`kernels/convolution_ops.py:128`),
+    so evaluating a 3DMatch-trained model at the ETH rescaled geometry
+    (`test_eth.py:37-39`: first_subsampling_dl 0.025->0.05, KP_extent
+    1.0->2.0) rescales the kernel geometry automatically.  We checkpoint
+    dispositions in PHYSICAL units (k_radius = 1.5*KP_extent*dl0*2^l), so
+    a cross-geometry restore must multiply them by the radius ratio —
+    otherwise the restored kernel sits at 1/4 the neighborhood scale and
+    every influence weight collapses toward the center point.
+
+    ``load_kernel_points`` is exactly linear in its radius argument
+    (normalize -> *radius; the seeded rotation is orthonormal; the seeded
+    jitter is normal(scale=radius*0.01)), so this rescale reproduces both
+    the reference semantics for trained dispositions and the fresh-init
+    values for untrained ones (tests/test_checkpoint.py).
+    """
+    scale = ((target_cfg.KP_extent * target_cfg.first_subsampling_dl)
+             / (trained_cfg.KP_extent * trained_cfg.first_subsampling_dl))
+    if scale == 1.0:
+        return kpoints
+    return jax.tree.map(lambda kp: kp * scale, kpoints)
+
+
 def latest_snapshot(save_dir: str) -> str | None:
     """Find the newest `snap-N` in a log dir (reference auto-pick,
     `test_3dmatch.py:104-134`)."""

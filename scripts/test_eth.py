@@ -35,6 +35,17 @@ def main():
                          'ETH download ships gt.log next to the .ply '
                          'fragments)')
     ap.add_argument('--num-keypts', type=int, default=250)
+    ap.add_argument('--neighborhood-limits', default=None,
+                    help='comma-separated per-level K_l overriding the '
+                         'trained config (ETH outdoor neighborhoods at '
+                         'KP_extent 2.0 are far denser than indoor — '
+                         'calibrate with scripts/dataset_stats.py on an '
+                         'ETH-geometry corpus)')
+    ap.add_argument('--level-capacity-ratios', default=None,
+                    help='comma-separated per-level capacity ratios '
+                         '(outdoor 2.5D scans subsample less per octave '
+                         'than indoor; the 3DMatch ratios overflow and '
+                         'force the wide-bucket fallback program)')
     ap.add_argument('--exact', action='store_true',
                     help='bit-stable eval: all-f32 forward + f32 head')
     ap.add_argument('--batch-frags', type=int, default=1,
@@ -58,6 +69,13 @@ def main():
         cfg = trained.replace(dataset='ETH', first_subsampling_dl=0.05,
                               KP_extent=2.0)
 
+    if args.neighborhood_limits:
+        cfg = cfg.replace(neighborhood_limits=tuple(
+            int(k) for k in args.neighborhood_limits.split(',')))
+    if args.level_capacity_ratios:
+        cfg = cfg.replace(level_capacity_ratios=tuple(
+            float(r) for r in args.level_capacity_ratios.split(',')))
+
     if args.exact:
         cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
 
@@ -66,11 +84,16 @@ def main():
     if args.snapshot:
         from d3feat_tpu.utils.checkpoint import (latest_snapshot,
                                                  restore_checkpoint)
+        from d3feat_tpu.utils.checkpoint import rescale_kpoints
         state = restore_checkpoint(latest_snapshot(args.snapshot),
                                    create_train_state(cfg, variables))
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats,
-                     'kpoints': state.kpoints}
+                     # cross-geometry restore: dispositions are stored in
+                     # physical units, the rescaled eval geometry needs
+                     # them at KP_extent*dl ratio (reference stores them
+                     # normalized, convolution_ops.py:128)
+                     'kpoints': rescale_kpoints(state.kpoints, trained, cfg)}
 
     extractor = DescriptorExtractor(cfg, variables,
                                     device_pyramid=args.device_pyramid)

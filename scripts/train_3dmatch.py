@@ -222,6 +222,24 @@ def main():
             snap = latest_snapshot(snap)
         print(f'restoring {snap}', flush=True)
         state = restore_checkpoint(snap, state)
+        # Cross-geometry fine-tune (e.g. indoor snap -> ETH dl/KP_extent):
+        # dispositions are checkpointed in physical units, so restoring at
+        # a different KP_extent*dl needs the radius-ratio rescale
+        # (utils/checkpoint.rescale_kpoints; reference keeps them
+        # normalized, convolution_ops.py:128).
+        snap_params = os.path.join(os.path.dirname(os.path.abspath(snap)),
+                                   'parameters.txt')
+        if os.path.exists(snap_params):
+            from d3feat_tpu.config import Config
+            from d3feat_tpu.utils.checkpoint import rescale_kpoints
+            trained = Config.load(snap_params)
+            scaled = rescale_kpoints(state.kpoints, trained, cfg)
+            if scaled is not state.kpoints:
+                print(f'rescaling kpoints: trained KP_extent*dl='
+                      f'{trained.KP_extent * trained.first_subsampling_dl} '
+                      f'-> {cfg.KP_extent * cfg.first_subsampling_dl}',
+                      flush=True)
+                state = state.replace(kpoints=scaled)
 
     if args.resident:
         from d3feat_tpu.train.resident import run_resident_training

@@ -224,3 +224,42 @@ def test_grad_global_clip_scales_instead_of_skipping():
         p = os.path.join(d, 'parameters.txt')
         cfg.save(p)
         assert type(cfg).load(p).grad_global_clip == 0.5
+
+
+def test_rescale_kpoints_matches_fresh_init_at_target_geometry():
+    """Cross-geometry restore (test_eth.py rescaled eval, ETH fine-tune):
+    dispositions are checkpointed in PHYSICAL units, so restoring at a
+    different KP_extent*dl must rescale by the radius ratio.  The
+    reference stores them normalized and scales at graph build
+    (convolution_ops.py:128) — our rescale must reproduce that exactly.
+    load_kernel_points is linear in radius (normalize -> *radius,
+    orthonormal seeded rotation, jitter sigma = radius*0.01), so the
+    rescaled tree must be bit-close to a fresh init at the target
+    radius."""
+    from d3feat_tpu.config import threedmatch_config
+    from d3feat_tpu.ops.kernel_points import load_kernel_points
+    from d3feat_tpu.utils.checkpoint import rescale_kpoints
+
+    trained = threedmatch_config()                      # dl 0.025, ext 1.0
+    target = trained.replace(first_subsampling_dl=0.05, KP_extent=2.0)
+
+    kpoints = {}
+    expect = {}
+    for level in range(trained.num_layers):
+        r_tr = 1.5 * trained.KP_extent * trained.first_subsampling_dl \
+            * 2 ** level
+        r_tg = 1.5 * target.KP_extent * target.first_subsampling_dl \
+            * 2 ** level
+        kpoints[f'level{level}'] = jnp.asarray(load_kernel_points(
+            r_tr, trained.num_kernel_points, seed=trained.kernel_seed + level))
+        expect[f'level{level}'] = load_kernel_points(
+            r_tg, target.num_kernel_points, seed=target.kernel_seed + level)
+
+    out = rescale_kpoints(kpoints, trained, target)
+    for level in kpoints:
+        np.testing.assert_allclose(np.asarray(out[level]), expect[level],
+                                   rtol=2e-6, atol=1e-7)
+
+    # identity geometry: the tree must pass through untouched (is-check —
+    # resident restore relies on no-op cheapness)
+    assert rescale_kpoints(kpoints, trained, trained) is kpoints
