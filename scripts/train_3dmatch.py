@@ -25,6 +25,13 @@ def main():
                     help='log dir (resumes latest snap-N) or a specific '
                          'snap-N path (reference restore_snap analog, '
                          'utils/trainer.py:97-104)')
+    ap.add_argument('--reset-step', action='store_true',
+                    help='with --restore: keep params/BN/kpoints but zero '
+                         'the step counter and re-init optimizer state — '
+                         'fine-tune semantics (fresh lr schedule + epoch '
+                         'numbering + momentum) instead of resume '
+                         'semantics (the restored count would decay lr by '
+                         'lr_decay^(restored_step/epoch_steps))')
     ap.add_argument('--lr', type=float, default=None,
                     help='override learning_rate (the shipped reference '
                          'models trained at 0.05; the reference script '
@@ -240,6 +247,14 @@ def main():
                       f'-> {cfg.KP_extent * cfg.first_subsampling_dl}',
                       flush=True)
                 state = state.replace(kpoints=scaled)
+        if args.reset_step:
+            import jax.numpy as jnp
+            from d3feat_tpu.train.trainer import make_optimizer
+            state = state.replace(
+                step=jnp.zeros((), jnp.int32),
+                opt_state=make_optimizer(cfg).init(state.params))
+            print('reset step counter + optimizer state (fine-tune mode)',
+                  flush=True)
 
     if args.resident:
         from d3feat_tpu.train.resident import run_resident_training
