@@ -34,27 +34,43 @@ def restore_checkpoint(path: str, target: Any) -> Any:
 def rescale_kpoints(kpoints: Any, trained_cfg: Any, target_cfg: Any) -> Any:
     """Rescale restored kernel-point dispositions across a geometry change.
 
-    The reference stores dispositions NORMALIZED and multiplies by the
-    layer kernel radius at graph build (`kernels/convolution_ops.py:128`),
-    so evaluating a 3DMatch-trained model at the ETH rescaled geometry
-    (`test_eth.py:37-39`: first_subsampling_dl 0.025->0.05, KP_extent
-    1.0->2.0) rescales the kernel geometry automatically.  We checkpoint
-    dispositions in PHYSICAL units (k_radius = 1.5*KP_extent*dl0*2^l), so
-    a cross-geometry restore must multiply them by the radius ratio —
-    otherwise the restored kernel sits at 1/4 the neighborhood scale and
-    every influence weight collapses toward the center point.
+    DEVIATION from the reference, opt-in (``--rescale-kpoints`` in
+    scripts/{test_eth,train_3dmatch}.py; default is reference parity).
+    The reference stores dispositions in PHYSICAL units — exactly like our
+    checkpoints: ``create_kernel_points`` returns ``kernel_points *
+    radius`` (`kernels/kernel_points.py:181`) into a non-trainable
+    ``kernel_points`` tf.Variable (`kernels/convolution_ops.py:137-148`)
+    that the tester's Saver restores from the snapshot
+    (`utils/tester.py:143-162`), overwriting the fresh ETH-geometry init.
+    The reference ETH zero-shot eval therefore runs the TRAINED-scale
+    kernel inside the 4x-rescaled neighborhoods (`test_eth.py:37-39`:
+    dl 0.025->0.05, KP_extent 1.0->2.0) — only the influence extent
+    stretches, not the disposition.  A commented-out
+    ``v.assign(v * 0.10/0.03)`` rescale in `utils/tester.py:164-168`
+    shows the author tried this very knob and shipped it disabled.
 
+    This helper is the enabled version of that knob: multiply the
+    restored dispositions by the KP_extent*dl ratio so the kernel
+    geometry matches what a fresh init at the target radius would give.
     ``load_kernel_points`` is exactly linear in its radius argument
     (normalize -> *radius; the seeded rotation is orthonormal; the seeded
-    jitter is normal(scale=radius*0.01)), so this rescale reproduces both
-    the reference semantics for trained dispositions and the fresh-init
-    values for untrained ones (tests/test_checkpoint.py).
+    jitter is normal(scale=radius*0.01)), so the rescaled tree is
+    bit-close to a fresh target-geometry init for untrained dispositions
+    (tests/test_train.py::
+    test_rescale_kpoints_matches_fresh_init_at_target_geometry).
     """
     scale = ((target_cfg.KP_extent * target_cfg.first_subsampling_dl)
              / (trained_cfg.KP_extent * trained_cfg.first_subsampling_dl))
-    if scale == 1.0:
+    if abs(scale - 1.0) < 1e-9:
         return kpoints
     return jax.tree.map(lambda kp: kp * scale, kpoints)
+
+
+def geometry_scale(trained_cfg: Any, target_cfg: Any) -> float:
+    """KP_extent*dl ratio between a snapshot's geometry and the target's
+    (1.0 = same geometry; used to detect cross-geometry restores)."""
+    return ((target_cfg.KP_extent * target_cfg.first_subsampling_dl)
+            / (trained_cfg.KP_extent * trained_cfg.first_subsampling_dl))
 
 
 def latest_snapshot(save_dir: str) -> str | None:

@@ -111,6 +111,8 @@ def main():
                      'batch_stats': state.batch_stats,
                      'kpoints': state.kpoints}
 
+    import time as _time
+    t_extract0 = _time.perf_counter()
     if args.dp:
         from d3feat_tpu.parallel import make_mesh
         from d3feat_tpu.parallel.extract import generate_descriptors_dp
@@ -123,6 +125,7 @@ def main():
         out_dir = generate_descriptors(extractor, dataset.test_fragments(),
                                        args.out, args.experiment,
                                        batch_frags=args.batch_frags)
+    t_extract = _time.perf_counter() - t_extract0
     print(f'dumped descriptors under {out_dir}')
 
     if args.gt:
@@ -179,6 +182,11 @@ def main():
                 write_log(os.path.join(out_dir, 'est_logs', scene,
                                        f'{scene}.log'), records)
         avg = np.mean([s['recall'] for s in scene_stats.values()])
+        # phase attribution (VERDICT r4 item 4): where eval wall clock
+        # goes — descriptor extraction (TPU + tunnel) vs the host
+        # matching/RANSAC stage
+        print(f'[timing] extraction {t_extract:.1f} s | '
+              f'matching+eval {_time.perf_counter() - t_extract0 - t_extract:.1f} s')
         print(f'average FMR over {len(scene_stats)} scenes: {avg:.4f}')
 
         if args.ransac:

@@ -46,6 +46,16 @@ def main():
                          '(outdoor 2.5D scans subsample less per octave '
                          'than indoor; the 3DMatch ratios overflow and '
                          'force the wide-bucket fallback program)')
+    ap.add_argument('--rescale-kpoints', action='store_true',
+                    help='DEVIATION: multiply the restored kernel-point '
+                         'dispositions by the KP_extent*dl ratio so the '
+                         'kernel geometry matches the rescaled ETH '
+                         'neighborhoods. Default off = reference parity: '
+                         'the reference Saver restores TRAINED-scale '
+                         'dispositions (kernel_points.py:181 stores '
+                         'physical units; tester.py:143-162 restores '
+                         'them; a rescale op at tester.py:164-168 is '
+                         'commented out)')
     ap.add_argument('--exact', action='store_true',
                     help='bit-stable eval: all-f32 forward + f32 head')
     ap.add_argument('--batch-frags', type=int, default=1,
@@ -87,13 +97,19 @@ def main():
         from d3feat_tpu.utils.checkpoint import rescale_kpoints
         state = restore_checkpoint(latest_snapshot(args.snapshot),
                                    create_train_state(cfg, variables))
+        # Reference parity: the Saver restores TRAINED-scale dispositions
+        # into the rescaled-geometry graph (tester.py:143-162); the
+        # --rescale-kpoints deviation stretches them to the target
+        # KP_extent*dl instead (see utils/checkpoint.rescale_kpoints).
+        kpts = state.kpoints
+        if args.rescale_kpoints:
+            kpts = rescale_kpoints(state.kpoints, trained, cfg)
+            print('DEVIATION: kernel dispositions rescaled to ETH geometry')
+        else:
+            print('reference parity: trained-scale kernel dispositions')
         variables = {'params': state.params,
                      'batch_stats': state.batch_stats,
-                     # cross-geometry restore: dispositions are stored in
-                     # physical units, the rescaled eval geometry needs
-                     # them at KP_extent*dl ratio (reference stores them
-                     # normalized, convolution_ops.py:128)
-                     'kpoints': rescale_kpoints(state.kpoints, trained, cfg)}
+                     'kpoints': kpts}
 
     extractor = DescriptorExtractor(cfg, variables,
                                     device_pyramid=args.device_pyramid)

@@ -82,6 +82,13 @@ def main():
                          'test_eth.py:37-39)')
     ap.add_argument('--kp-extent', type=float, default=None,
                     help='override KP_extent (2.0 = ETH rescaling)')
+    ap.add_argument('--rescale-kpoints', action='store_true',
+                    help='DEVIATION (with --restore across a geometry '
+                         'change): stretch the restored kernel-point '
+                         'dispositions by the KP_extent*dl ratio. Default '
+                         'off = reference parity (the Saver restores '
+                         'trained-scale dispositions verbatim, '
+                         'utils/tester.py:143-162)')
     ap.add_argument('--neighborhood-limits', default=None,
                     help='comma-separated per-level K_l overriding the '
                          '3DMatch-calibrated defaults (produce with '
@@ -230,23 +237,42 @@ def main():
         print(f'restoring {snap}', flush=True)
         state = restore_checkpoint(snap, state)
         # Cross-geometry fine-tune (e.g. indoor snap -> ETH dl/KP_extent):
-        # dispositions are checkpointed in physical units, so restoring at
-        # a different KP_extent*dl needs the radius-ratio rescale
-        # (utils/checkpoint.rescale_kpoints; reference keeps them
-        # normalized, convolution_ops.py:128).
+        # reference parity keeps the TRAINED-scale dispositions (the
+        # Saver restores the kernel_points variable verbatim,
+        # utils/tester.py:143-162); --rescale-kpoints is the opt-in
+        # deviation that stretches them by the KP_extent*dl ratio
+        # (utils/checkpoint.rescale_kpoints).
         snap_params = os.path.join(os.path.dirname(os.path.abspath(snap)),
                                    'parameters.txt')
         if os.path.exists(snap_params):
             from d3feat_tpu.config import Config
-            from d3feat_tpu.utils.checkpoint import rescale_kpoints
+            from d3feat_tpu.utils.checkpoint import (geometry_scale,
+                                                     rescale_kpoints)
             trained = Config.load(snap_params)
-            scaled = rescale_kpoints(state.kpoints, trained, cfg)
-            if scaled is not state.kpoints:
-                print(f'rescaling kpoints: trained KP_extent*dl='
-                      f'{trained.KP_extent * trained.first_subsampling_dl} '
-                      f'-> {cfg.KP_extent * cfg.first_subsampling_dl}',
-                      flush=True)
-                state = state.replace(kpoints=scaled)
+            scale = geometry_scale(trained, cfg)
+            if args.rescale_kpoints:
+                scaled = rescale_kpoints(state.kpoints, trained, cfg)
+                if scaled is not state.kpoints:
+                    print(f'DEVIATION: rescaling kpoints, trained '
+                          f'KP_extent*dl='
+                          f'{trained.KP_extent * trained.first_subsampling_dl}'
+                          f' -> {cfg.KP_extent * cfg.first_subsampling_dl}',
+                          flush=True)
+                    state = state.replace(kpoints=scaled)
+            elif abs(scale - 1.0) >= 1e-9:
+                print(f'NOTE: cross-geometry restore (KP_extent*dl ratio '
+                      f'{scale:.3g}) keeps trained-scale kernel '
+                      f'dispositions (reference parity); pass '
+                      f'--rescale-kpoints to stretch them to the new '
+                      f'geometry', flush=True)
+        elif args.rescale_kpoints:
+            ap.error(f'--rescale-kpoints needs {snap_params} to read the '
+                     f'trained geometry, and it does not exist')
+        else:
+            print(f'WARNING: {snap_params} missing — cannot check the '
+                  f'snapshot geometry against this run\'s config; if the '
+                  f'trained KP_extent*dl differs, kernel dispositions '
+                  f'will be at the wrong scale', flush=True)
         if args.reset_step:
             import jax.numpy as jnp
             from d3feat_tpu.train.trainer import make_optimizer

@@ -41,13 +41,25 @@ def snaps_present(log_dir):
 
 
 def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
-             scenes=None, batch_frags=1):
+             scenes=None, batch_frags=1, eth=False):
     with tempfile.TemporaryDirectory() as tmp:
         shutil.copytree(os.path.join(log_dir, f'snap-{n}'),
                         os.path.join(tmp, f'snap-{n}'))
         shutil.copy(os.path.join(log_dir, 'parameters.txt'), tmp)
-        cmd = [sys.executable, os.path.join(REPO, 'scripts',
-                                            'test_3dmatch.py'),
+        if eth:
+            # ETH-geometry snapshots: test_eth.py evaluates the synthetic
+            # outdoor scenes ({data}/{scene}/gt.log) with the snapshot's
+            # own geometry (same dl/KP_extent -> no rescale question)
+            cmd = [sys.executable, os.path.join(REPO, 'scripts',
+                                                'test_eth.py'),
+                   '--data', data,
+                   '--snapshot', tmp,
+                   '--num-keypts', str(num_keypts),
+                   '--experiment',
+                   f'watcheth{"dev" if device_pyramid else "host"}_snap{n}']
+        else:
+            cmd = [sys.executable, os.path.join(REPO, 'scripts',
+                                                'test_3dmatch.py'),
                '--data', data,
                '--scenes', scenes or os.path.join(data, 'test_scenes.txt'),
                '--gt', os.path.join(data, 'gt_result'),
@@ -68,8 +80,14 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
                              timeout=3600)
     scene_stats = {}
     avg = None
+    timing = {}
     for line in res.stdout.splitlines():
-        if ': recall=' in line:
+        if line.startswith('[timing]'):
+            # '[timing] extraction X s | matching+eval Y s'
+            for part in line[len('[timing]'):].split('|'):
+                words = part.split()
+                timing[words[0] + '_s'] = float(words[1])
+        elif ': recall=' in line:
             scene, rest = line.split(': recall=')
             rec, rest2 = rest.split(' inlier_ratio=')
             scene_stats[scene] = {
@@ -77,8 +95,11 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
                 'inlier_ratio': float(rest2.split()[0])}
         elif line.startswith('average FMR'):
             avg = float(line.rsplit(' ', 1)[1])
+        elif line.startswith('mean ETH FMR'):
+            avg = float(line.rsplit(' ', 1)[1])
     return {'snap': n, 'fmr': avg, 'scenes': scene_stats,
             'path': 'device' if device_pyramid else 'host',
+            **timing,
             'ok': res.returncode == 0,
             'err': None if res.returncode == 0 else res.stderr[-800:]}
 
@@ -100,6 +121,10 @@ def main():
                     help='scene-list file overriding {data}/test_scenes.'
                          'txt — a subset keeps in-training evals cheap '
                          '(the full protocol runs once on the finalists)')
+    ap.add_argument('--eth', action='store_true',
+                    help='evaluate snapshots with scripts/test_eth.py '
+                         '(outdoor scenes + per-scene gt.log under '
+                         '--data) instead of test_3dmatch.py')
     ap.add_argument('--poll-s', type=int, default=60)
     args = ap.parse_args()
 
@@ -129,7 +154,7 @@ def main():
             rec = evaluate(args.log_dir, args.data, n, args.num_keypts,
                            device_pyramid=args.device_pyramid,
                            scenes=args.scenes,
-                           batch_frags=args.batch_frags)
+                           batch_frags=args.batch_frags, eth=args.eth)
             rec['eval_s'] = round(time.time() - t0, 1)
             with open(out_path, 'a') as fh:
                 fh.write(json.dumps(rec) + '\n')

@@ -227,11 +227,12 @@ def test_grad_global_clip_scales_instead_of_skipping():
 
 
 def test_rescale_kpoints_matches_fresh_init_at_target_geometry():
-    """Cross-geometry restore (test_eth.py rescaled eval, ETH fine-tune):
-    dispositions are checkpointed in PHYSICAL units, so restoring at a
-    different KP_extent*dl must rescale by the radius ratio.  The
-    reference stores them normalized and scales at graph build
-    (convolution_ops.py:128) — our rescale must reproduce that exactly.
+    """Opt-in --rescale-kpoints DEVIATION (cross-geometry restore):
+    dispositions are checkpointed in PHYSICAL units — same as the
+    reference, whose Saver restores the trained-scale kernel_points
+    variable verbatim (tester.py:143-162; reference parity is therefore
+    NO rescale).  When the deviation is enabled, the rescale must land
+    exactly where a fresh init at the target geometry would:
     load_kernel_points is linear in radius (normalize -> *radius,
     orthonormal seeded rotation, jitter sigma = radius*0.01), so the
     rescaled tree must be bit-close to a fresh init at the target
