@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from d3feat_tpu.config import Config
@@ -171,3 +172,40 @@ def build_pyramid_device(
         if out_up_rels:
             out['up_rels'] = tuple(out_up_rels)
     return out, ok
+
+
+def build_pyramid_device_batch(
+    points: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    config: Config,
+    *,
+    cell_ratio: float = 0.45,
+    cand_cap: int = 160,
+) -> Tuple[Dict, jnp.ndarray]:
+    """B independent cloud pyramids in ONE program (vmap over the
+    single-cloud builder).
+
+    Args:
+      points: [B, caps[0], 3] f32 clouds, pad rows at 1e6.
+      n_valid: [B] dynamic valid counts.
+
+    Returns (pyramid pytree with a leading B axis on every leaf, ok
+    [B, 3] bool — the same per-axis overflow flags per cloud).
+
+    Every per-cloud value is identical to `build_pyramid_device` run
+    separately: the builder's only non-exact f32 ops are pointwise
+    (d2, barycenter divide) or fixed-order (slot-ordered scatter-add),
+    so batching does not change results — enforced slot-exactly by
+    tests/test_device_grid.py::test_batch_pyramid_matches_single.
+    One B-cloud dispatch amortizes the per-dispatch tunnel round trip
+    that dominates dense extraction on tunneled TPUs (VERDICT r4 #8);
+    semantics stay single-cloud (the reference tester also extracts one
+    fragment at a time, `utils/tester.py:177-233` — batching here is
+    purely an execution-shape choice).
+    """
+
+    def one(p, n):
+        return build_pyramid_device(p, n, config, cell_ratio=cell_ratio,
+                                    cand_cap=cand_cap)
+
+    return jax.vmap(one)(points, n_valid)

@@ -61,13 +61,28 @@ class DescriptorExtractor:
 
     def __init__(self, config: Config, variables: Dict,
                  timer: Optional[list] = None,
-                 device_pyramid: bool = False):
+                 device_pyramid: bool = False,
+                 batch_program: bool = False):
         self.config = config
         self.variables = variables
         self._fns: Dict[int, callable] = {}
         self._rung: Dict[int, Tuple[int, int]] = {}  # bucket -> rung pair
         self.timer = timer if timer is not None else []
         self.device_pyramid = device_pyramid
+        # batch_program=True: extract_many chunks run as ONE B-cloud XLA
+        # program (vmapped device pyramid + forward) instead of B
+        # pipelined single-cloud dispatches.  The vmapped pyramid is
+        # bit-identical to the single-cloud build (measured on TPU;
+        # tests/test_device_grid.py::test_batch_pyramid_matches_single),
+        # but the vmapped bf16 forward re-tiles its MXU contractions, so
+        # descriptors differ from per-fragment extract() at the
+        # documented cross-program ulp class (VALIDATION.md one-path
+        # rule).  Default OFF: the pipelined path stays bit-identical to
+        # extract().
+        self.batch_program = batch_program
+        # (cap, B) combos whose one-dispatch B-cloud program failed to
+        # compile (HBM) — remembered so later chunks skip the attempt
+        self._no_batch: Dict[Tuple[int, int], bool] = {}
 
     def _forward_for(self, cap: int):
         if cap not in self._fns:
@@ -114,6 +129,28 @@ class DescriptorExtractor:
                 desc, score = model.apply(variables, pyramid,
                                           training=False)
                 return desc, score, ok
+
+            self._fns[key] = fwd
+        return self._fns[key]
+
+    def _device_fn_batch(self, cap: int, b: int, grow: Tuple[int, int]):
+        key = ('devb', cap, b, grow)
+        if key not in self._fns:
+            from d3feat_tpu.data.pyramid_device import (
+                build_pyramid_device_batch)
+            cell_ratio = self._CELL_RATIOS[grow[0]]
+            cand_cap = self._CAND_CAPS[grow[1]]
+            cfg = self.config.replace(max_points=cap)
+            model = KPFCNN(cfg)
+
+            @jax.jit
+            def fwd(variables, pts, n):           # [B, cap, 3], [B]
+                pyramids, ok = build_pyramid_device_batch(
+                    pts, n, cfg, cell_ratio=cell_ratio, cand_cap=cand_cap)
+                desc, score = jax.vmap(
+                    lambda pyr: model.apply(variables, pyr,
+                                            training=False))(pyramids)
+                return desc, score, ok            # [B,cap,32],[B,cap,1],[B,3]
 
             self._fns[key] = fwd
         return self._fns[key]
@@ -187,7 +224,8 @@ class DescriptorExtractor:
             for c0 in range(0, len(idxs), batch):
                 chunk = idxs[c0:c0 + batch]
                 if self.device_pyramid:
-                    self._extract_chunk_device(points_list, chunk, cap, out)
+                    self._extract_chunk_device(points_list, chunk, cap,
+                                               out, batch)
                 else:
                     self._extract_chunk_host(points_list, chunk, cap,
                                              batch, out)
@@ -221,10 +259,55 @@ class DescriptorExtractor:
             out[i] = (desc[off:off + n], score[off:off + n, 0])
             off += len(pts[j])
 
-    def _extract_chunk_device(self, points_list, chunk, cap, out):
-        """Device-pyramid path: pipeline the chunk's single-cloud
-        dispatches (async), stack results on device, fetch once — the
-        per-fragment fetch round trips collapse into three per chunk."""
+    def _extract_chunk_device(self, points_list, chunk, cap, out,
+                              batch=None):
+        """Device-pyramid path: ONE B-cloud program (vmapped pyramid +
+        forward, `build_pyramid_device_batch`) per chunk — a single
+        dispatch + fetch instead of B pipelined ones.  Falls back to the
+        pipelined single-cloud path when the B-cloud program cannot
+        compile at this bucket (HBM), and to the per-fragment retry
+        ladder for clouds whose static capacities overflow.  Tail chunks
+        are padded by repeating the last fragment so one (cap, B)
+        program serves every chunk of the group."""
+        b = batch or len(chunk)
+        if self.batch_program and b > 1 and (cap, b) not in self._no_batch:
+            filled = list(chunk) + [chunk[-1]] * (b - len(chunk))
+            stacked = np.full((b, cap, 3), 1e6, np.float32)
+            ns = np.zeros((b,), np.int32)
+            for j, i in enumerate(filled):
+                pts = points_list[i]
+                stacked[j, :len(pts)] = pts
+                ns[j] = len(pts)
+            fwd = self._device_fn_batch(cap, b,
+                                        self._rung.get(cap, (0, 0)))
+            t0 = time.perf_counter()
+            try:
+                desc, score, ok = fwd(self.variables, stacked, ns)
+                oks = np.asarray(jax.device_get(ok))
+                descs = np.asarray(jax.device_get(desc))
+                scores = np.asarray(jax.device_get(score))
+            except Exception as e:  # noqa: BLE001 — remote compile OOM
+                print(f'B-cloud device program (cap={cap}, B={b}) '
+                      f'unavailable ({type(e).__name__}); falling back '
+                      f'to pipelined dispatches', flush=True)
+                self._no_batch[(cap, b)] = True
+            else:
+                self.timer.append(time.perf_counter() - t0)
+                for j, i in enumerate(chunk):
+                    n = len(points_list[i])
+                    if oks[j].all():
+                        out[i] = (descs[j, :n], scores[j, :n, 0])
+                    else:
+                        # static-capacity overflow: per-fragment ladder
+                        out[i] = self.extract(points_list[i])
+                return
+        self._extract_chunk_device_pipelined(points_list, chunk, cap, out)
+
+    def _extract_chunk_device_pipelined(self, points_list, chunk, cap,
+                                        out):
+        """Fallback: pipeline the chunk's single-cloud dispatches
+        (async), stack results on device, fetch once — the per-fragment
+        fetch round trips collapse into three per chunk."""
         import jax.numpy as jnp
         fwd = self._device_fn(cap, self._rung.get(cap, (0, 0)))
         handles = []

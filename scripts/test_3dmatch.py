@@ -70,6 +70,13 @@ def main():
                     help='extract N same-bucket fragments per XLA dispatch '
                          '(runtime.tester.extract_many): same numbers, '
                          '~Nx less tunnel round-trip wall clock')
+    ap.add_argument('--batch-program', action='store_true',
+                    help='with --device-pyramid --batch-frags N: ONE '
+                         'vmapped B-cloud program per chunk instead of N '
+                         'pipelined dispatches. Pyramids are bit-identical '
+                         'but the vmapped bf16 forward re-tiles MXU '
+                         'contractions (cross-program ulp class; keep one '
+                         'setting per eval series)')
     ap.add_argument('--cpu', action='store_true')
     args = ap.parse_args()
 
@@ -121,7 +128,8 @@ def main():
             args.experiment, make_mesh(args.dp))
     else:
         extractor = DescriptorExtractor(cfg, variables,
-                                        device_pyramid=args.device_pyramid)
+                                        device_pyramid=args.device_pyramid,
+                                        batch_program=args.batch_program)
         out_dir = generate_descriptors(extractor, dataset.test_fragments(),
                                        args.out, args.experiment,
                                        batch_frags=args.batch_frags)

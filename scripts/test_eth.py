@@ -46,6 +46,13 @@ def main():
                          '(outdoor 2.5D scans subsample less per octave '
                          'than indoor; the 3DMatch ratios overflow and '
                          'force the wide-bucket fallback program)')
+    ap.add_argument('--size-multiple', type=int, default=None,
+                    help='override config.size_multiple for the fragment '
+                         'bucketing. ETH fragments span 46k-97k points — '
+                         'at the default 1024 they scatter over ~15 '
+                         'buckets and every bucket is a fresh 1-2 min XLA '
+                         'compile; 32768 collapses them to 2-3 programs '
+                         '(padding costs ~ms of forward compute)')
     ap.add_argument('--rescale-kpoints', action='store_true',
                     help='DEVIATION: multiply the restored kernel-point '
                          'dispositions by the KP_extent*dl ratio so the '
@@ -88,6 +95,8 @@ def main():
 
     if args.exact:
         cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
+    if args.size_multiple:
+        cfg = cfg.replace(size_multiple=args.size_multiple)
 
     dataset = ETHDataset(args.data, 0.0625)
     variables = init_variables(cfg)

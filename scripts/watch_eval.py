@@ -55,6 +55,9 @@ def evaluate(log_dir, data, n, num_keypts, device_pyramid=False,
                    '--data', data,
                    '--snapshot', tmp,
                    '--num-keypts', str(num_keypts),
+                   # coarse buckets: 2-3 compiled programs per eval
+                   # instead of ~15 (46k-97k fragments at multiple 1024)
+                   '--size-multiple', '32768',
                    '--experiment',
                    f'watcheth{"dev" if device_pyramid else "host"}_snap{n}']
         else:

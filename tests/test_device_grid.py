@@ -288,6 +288,59 @@ def test_extract_many_device_matches_single(cloud):
         np.testing.assert_array_equal(s2, s1)
 
 
+@pytest.mark.slow
+def test_batch_pyramid_matches_single(cloud):
+    """The one-program B-cloud pyramid (vmap over the single-cloud
+    builder) must be slot-exact vs B separate builds: every non-exact
+    f32 op in the builder is pointwise or fixed-order, so batching may
+    not change a single slot."""
+    from d3feat_tpu.data.pyramid_device import build_pyramid_device_batch
+    cfg = threedmatch_config()
+    cap = cfg.level_capacities()[0]
+    frags = [cloud, cloud[:cloud.shape[0] - 311], cloud[57:]]
+    stacked = np.stack([pad_to(f, cap) for f in frags])
+    ns = np.array([len(f) for f in frags], np.int32)
+    bp, bok = jax.jit(lambda p, n: build_pyramid_device_batch(
+        p, n, cfg, cell_ratio=0.45, cand_cap=240))(stacked, ns)
+    assert np.asarray(bok).all()
+    for j, f in enumerate(frags):
+        sp, sok = jax.jit(lambda p, n: build_pyramid_device(
+            p, n, cfg, cell_ratio=0.45, cand_cap=240))(
+                pad_to(f, cap), np.int32(len(f)))
+        assert np.asarray(sok).all()
+        flat_b = jax.tree.leaves(jax.tree.map(lambda x: x[j], bp))
+        flat_s = jax.tree.leaves(sp)
+        for xb, xs in zip(flat_b, flat_s):
+            np.testing.assert_array_equal(np.asarray(xb), np.asarray(xs))
+
+
+@pytest.mark.slow
+def test_extract_many_batch_program_matches_single(cloud):
+    """batch_program=True runs a chunk as ONE vmapped B-cloud program.
+    On CPU in f32 the results are bit-identical to per-fragment extract;
+    on TPU bf16 the vmapped forward re-tiles MXU contractions and lands
+    in the documented cross-program ulp class (tester.py docstring)."""
+    from d3feat_tpu.models import init_kpfcnn
+    from d3feat_tpu.runtime import DescriptorExtractor
+    n = cloud.shape[0]
+    cfg = threedmatch_config(compute_dtype='float32')
+    hp = build_pyramid(cloud, [n],
+                       cfg.replace(max_points=-(-n // 1024) * 1024,
+                                   size_multiple=1024))
+    _, variables = init_kpfcnn(cfg.replace(max_points=hp['features']
+                                           .shape[0]), hp)
+    dev = DescriptorExtractor(cfg, variables, device_pyramid=True,
+                              batch_program=True)
+    frags = [cloud, cloud[: n - 200], cloud[100:]]
+    batched = dev.extract_many(frags, batch=3)
+    assert any(isinstance(k, tuple) and k[0] == 'devb'
+               for k in dev._fns), 'the B-cloud program should have run'
+    singles = [dev.extract(p) for p in frags]
+    for (d1, s1), (d2, s2) in zip(singles, batched):
+        np.testing.assert_allclose(d2, d1, atol=2e-5)
+        np.testing.assert_allclose(s2, s1, atol=2e-5)
+
+
 def test_device_pyramid_matches_host_kitti_geometry():
     """Outdoor KITTI geometry: 0.30 m voxel, ~100 m extent, ground plane +
     vertical structures (the grid must handle tall z-columns and the
