@@ -365,7 +365,8 @@ def _experiment_dirs(out_root: str, experiment: str) -> Tuple[str, Dict]:
     return base, dirs
 
 
-def path_signature(config: Config, pyramid: str) -> Dict:
+def path_signature(config: Config, pyramid: str,
+                   batch_program: bool = False) -> Dict:
     """The numeric identity of a dump: which pyramid builder produced the
     geometry and which dtypes ran the forward.  Dumps with different
     signatures are NOT comparable pair-for-pair at the 250-keypoint cut:
@@ -373,11 +374,15 @@ def path_signature(config: Config, pyramid: str) -> Dict:
     barycenters accumulate in f64, the device pyramid in f32; the two
     paths also compile different XLA programs), and the reference det
     head's beta pole (`models/D3Feat.py:84-90`) can amplify that ulp
-    noise by ~1e8 on degenerate rows — measured in RESULTS.md round 4."""
+    noise by ~1e8 on degenerate rows — measured in RESULTS.md round 4.
+    `batch_program` is part of the identity for the same reason: the
+    vmapped B-cloud forward re-tiles its MXU contractions (round 5,
+    VALIDATION.md)."""
     return {'pyramid': pyramid,
             'compute_dtype': config.compute_dtype,
             'score_dtype': getattr(config, 'score_dtype',
-                                   config.compute_dtype)}
+                                   config.compute_dtype),
+            'batch_program': batch_program}
 
 
 def write_dump_meta(base: str, signature: Dict) -> None:
@@ -431,7 +436,8 @@ def generate_descriptors(
     base, dirs = _experiment_dirs(out_root, experiment)
     write_dump_meta(base, path_signature(
         extractor.config,
-        'device' if extractor.device_pyramid else 'host'))
+        'device' if extractor.device_pyramid else 'host',
+        batch_program=extractor.batch_program and batch_frags > 1))
     if batch_frags > 1:
         frags = list(fragments)
         results = extractor.extract_many([f[2] for f in frags],

@@ -176,4 +176,5 @@ def test_descriptor_dump_layout(tmp_path, rng):
     meta = read_dump_meta(out)
     assert meta == {'pyramid': 'host',
                     'compute_dtype': cfg.compute_dtype,
-                    'score_dtype': cfg.score_dtype}
+                    'score_dtype': cfg.score_dtype,
+                    'batch_program': False}
