@@ -58,6 +58,13 @@ def main():
                     help="override config.score_dtype ('float32' runs the "
                          'detection head in f32 on the bf16 fast path — '
                          'stabilizes the top-k keypoint cut)')
+    ap.add_argument('--score-clamp', type=float, default=None,
+                    help='eval-time override of config.score_clamp: an '
+                         'upper bound on the detection score. Bounds the '
+                         'reference det head beta pole (models/D3Feat.py:'
+                         '84-90) at eval so e8-scale pole rows cannot '
+                         'hijack the top-250 keypoint cut (healthy scores '
+                         'are ~0.6-0.8; 3.0 never binds on them)')
     ap.add_argument('--exact', action='store_true',
                     help='bit-stable eval mode: all-f32 forward '
                          '(compute_dtype=float32, implies the f32 head) so '
@@ -96,6 +103,8 @@ def main():
         cfg = threedmatch_config()
     if args.score_dtype:
         cfg = cfg.replace(score_dtype=args.score_dtype)
+    if args.score_clamp is not None:
+        cfg = cfg.replace(score_clamp=args.score_clamp)
     if args.exact:
         cfg = cfg.replace(compute_dtype='float32', score_dtype='float32')
 
