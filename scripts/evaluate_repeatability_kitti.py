@@ -73,8 +73,14 @@ def main():
         for cloud, (_desc, score) in zip((anc, pos), results):
             sel = np.argsort(score)[::-1][:args.max_keypts]
             kp.append(cloud[sel])
-        # the GT transform aligns anc onto pos (data/kitti.py)
-        rep = keypoint_repeatability(kp[0], kp[1], trans,
+        # Reference KITTI quirk (`evaluate_kitti_our.py:16-23`): anc is
+        # transformed by the GT and repeatability is counted PER POS
+        # keypoint (min over anc rows) — unlike its 3DMatch sibling,
+        # which counts per transformed cloud.  d(T a, p) == d(a, T^-1 p),
+        # so counting per pos against anc under the inverse transform
+        # reproduces it exactly with the shared helper.
+        t_inv = np.linalg.inv(trans)
+        rep = keypoint_repeatability(kp[1], kp[0], t_inv,
                                      threshold=args.threshold)
         for k, v in rep.items():
             sweeps[k].append(v)
