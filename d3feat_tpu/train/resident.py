@@ -43,6 +43,21 @@ from d3feat_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
 HOST_PIN_UPLOAD_BUDGET_BYTES = int(90e9)
 
 
+def _rss_gb() -> float:
+    """Host resident-set size in GB (reference training.txt logs RSS via
+    psutil, `utils/trainer.py:316-328`; /proc avoids the dependency).
+    Here it is also the early-warning gauge for the axon per-device_put
+    host pin (RESULTS.md incident 5)."""
+    try:
+        with open('/proc/self/status') as fh:
+            for line in fh:
+                if line.startswith('VmRSS:'):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
+
+
 def _upload(cache, mesh=None):
     """device_put a shard's stacked pyramids and force completion.
 
@@ -189,7 +204,8 @@ def run_resident_training(
                             f'loss={m["total"]:.4f} '
                             f'desc={m["desc_loss"]:.4f} '
                             f'det={m["det_loss"]:.4f} '
-                            f'acc={m["accuracy"]:.3f} dt={dt:.1f}s')
+                            f'acc={m["accuracy"]:.3f} dt={dt:.1f}s '
+                            f'rss={_rss_gb():.1f}G')
                     print(line, flush=True)
                     log_f.write(line + '\n'); log_f.flush()
                     met_f.write(json.dumps(

@@ -428,11 +428,13 @@ class Trainer:
                      jax.device_get(metrics).items()}
                 dt = time.perf_counter() - t_last
                 t_last = time.perf_counter()
+                from d3feat_tpu.train.resident import _rss_gb
                 self._log(
                     f'e{epoch:03d} s{i:05d} loss={m["total"]:.4f} '
                     f'desc={m["desc_loss"]:.4f} det={m["det_loss"]:.4f} '
                     f'acc={m["accuracy"]:.3f} d_pos={m["d_pos"]:.3f} '
-                    f'd_neg={m["d_neg"]:.3f} dt={dt:.1f}s')
+                    f'd_neg={m["d_neg"]:.3f} dt={dt:.1f}s '
+                    f'rss={_rss_gb():.1f}G')
                 import json
                 with open(self.metrics_path, 'a') as fh:
                     fh.write(json.dumps(
