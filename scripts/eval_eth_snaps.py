@@ -74,8 +74,13 @@ def main():
 
     for n in snaps:
         t0 = time.time()
-        state = restore_checkpoint(os.path.join(args.log_dir, f'snap-{n}'),
-                                   template)
+        try:
+            state = restore_checkpoint(
+                os.path.join(args.log_dir, f'snap-{n}'), template)
+        except Exception as e:  # noqa: BLE001 — partial/corrupt snapshot
+            print(f'snap-{n}: restore failed ({type(e).__name__}), '
+                  f'skipping', flush=True)
+            continue
         extractor.variables = {'params': state.params,
                                'batch_stats': state.batch_stats,
                                'kpoints': state.kpoints}
