@@ -24,11 +24,16 @@ def _enable_persistent_compile_cache():
     remote-compile tunnel: a cross-process recompile drops 146 s -> 3 s
     — this is what makes subprocess-per-snapshot watcher evals and
     repeated script launches affordable (each otherwise pays 1-2 min of
-    remote compile per size bucket).  Opt-out / redirect with the
-    standard JAX_COMPILATION_CACHE_DIR env var."""
+    remote compile per size bucket).  Opt-out (set it to '') or
+    redirect with the standard JAX_COMPILATION_CACHE_DIR env var.
+    tests/conftest.py opts out: XLA:CPU AOT cache entries bake in host
+    codegen feature flags (+prefer-no-scatter etc.) that are NOT part
+    of the cache key, and cross-process reuse on this machine produced
+    ~1e-3-level numeric drift plus SIGILL warnings — the persistent
+    cache is for the (remote-compiled) TPU programs."""
     import os
-    if os.environ.get('JAX_COMPILATION_CACHE_DIR'):
-        return                      # user already chose a cache (or '')
+    if os.environ.get('JAX_COMPILATION_CACHE_DIR') is not None:
+        return                # user already chose a cache ('' = off)
     import jax
     try:
         if jax.config.jax_compilation_cache_dir is None:

@@ -18,7 +18,11 @@ jax.config.update('jax_platforms', 'cpu')
 
 # Persistent compilation cache: the suite is compile-dominated (every jitted
 # train-step variant recompiles ~30-60 s on CPU); warm runs skip all of it.
-_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache')
+# OWN directory, never shared with the axon-env processes' .jax_cache:
+# XLA:CPU AOT entries bake in host codegen feature flags that are NOT part
+# of the cache key, and mixed-writer reuse produced ~1e-3 numeric drift +
+# SIGILL warnings (round 5, test_resident_dp_matches_dp).
+_cache_dir = os.path.join(os.path.dirname(__file__), '..', '.jax_cache_cpu')
 jax.config.update('jax_compilation_cache_dir', os.path.abspath(_cache_dir))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 2.0)
 jax.config.update('jax_persistent_cache_enable_xla_caches',

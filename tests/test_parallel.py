@@ -91,7 +91,13 @@ def test_resident_dp_matches_dp(rng):
     from test_train import synthetic_pair, tiny_cfg
 
     n_dev = 4
-    cfg = tiny_cfg()
+    # f32 compute: this is an IMPLEMENTATION-equivalence test (shard_map
+    # + pmean vs vmap + mean), so isolate it from compute-dtype noise —
+    # since ae02595 the bf16 casts are explicit in the program, and on
+    # the CPU test platform (no MXU implicit rounding before) the two
+    # differently-compiled programs produce bf16-scale GRADIENT noise
+    # (losses still bit-match) that swamped the 2e-3 update tolerance.
+    cfg = tiny_cfg(compute_dtype='float32')
     cache = PairPyramidCache(cfg)
     base_rng = np.random.default_rng(0)
     for i in range(n_dev):
