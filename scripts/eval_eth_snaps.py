@@ -31,7 +31,19 @@ def main():
     ap.add_argument('--data', default='data/synth_eth')
     ap.add_argument('--every', type=int, default=1)
     ap.add_argument('--num-keypts', type=int, default=250)
-    ap.add_argument('--size-multiple', type=int, default=32768)
+    ap.add_argument('--size-multiple', type=int, default=1024,
+                    help='fragment bucket granularity. 1024 = native '
+                         'buckets (measured safe at ETH geometry; the '
+                         'round-5 sweep ran here); coarse buckets pad '
+                         'the largest fragments to 98304, where the '
+                         'ETH-K program exceeds compile-time HBM')
+    ap.add_argument('--neighborhood-limits', default=None,
+                    help='comma-separated per-level K_l overriding the '
+                         'trained config (use the EVAL-corpus calibration '
+                         'from dataset_stats.py; the fatter train-corpus '
+                         'ratios at a 98k bucket can exceed compile-time '
+                         'HBM)')
+    ap.add_argument('--level-capacity-ratios', default=None)
     ap.add_argument('--device-pyramid', action='store_true')
     ap.add_argument('--out', default='geometric_registration_eth')
     ap.add_argument('--snaps', default=None,
@@ -54,6 +66,12 @@ def main():
 
     cfg = Config.load(os.path.join(args.log_dir, 'parameters.txt'))
     cfg = cfg.replace(dataset='ETH', size_multiple=args.size_multiple)
+    if args.neighborhood_limits:
+        cfg = cfg.replace(neighborhood_limits=tuple(
+            int(k) for k in args.neighborhood_limits.split(',')))
+    if args.level_capacity_ratios:
+        cfg = cfg.replace(level_capacity_ratios=tuple(
+            float(r) for r in args.level_capacity_ratios.split(',')))
 
     if args.snaps:
         snaps = [int(s) for s in args.snaps.split(',')]
